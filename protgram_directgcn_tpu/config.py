@@ -1,0 +1,304 @@
+"""Typed configuration for the ProtGram-DirectGCN TPU framework.
+
+Replaces the reference's single hard-coded god-object (reference:
+config.py:13-172) with nested, typed dataclasses plus CLI/JSON/env override
+paths.  The semantic knob set is preserved: workflow stage toggles,
+per-level task-type map, cluster-training knobs, eval registry
+(reference: config.py:20-26, 89-94, 98-104, 143-148).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+
+@dataclass
+class PathsConfig:
+    """Filesystem layout (reference: config.py:29-46)."""
+
+    project_root: Path = field(default_factory=lambda: Path(".").resolve())
+    base_data_dir: Optional[Path] = None
+    base_output_dir: Optional[Path] = None
+    input_fasta: Optional[Path] = None
+    interactions_positive: Optional[Path] = None
+    interactions_negative: Optional[Path] = None
+
+    def __post_init__(self):
+        if self.base_data_dir is None:
+            self.base_data_dir = self.project_root / "data"
+        if self.base_output_dir is None:
+            self.base_output_dir = self.base_data_dir / "results"
+        if self.input_fasta is None:
+            self.input_fasta = self.base_data_dir / "sequences/uniprot_sprot.fasta"
+        if self.interactions_positive is None:
+            self.interactions_positive = self.base_data_dir / "ground_truth/positive_interactions.csv"
+        if self.interactions_negative is None:
+            self.interactions_negative = self.base_data_dir / "ground_truth/negative_interactions.csv"
+
+    @property
+    def graph_objects_dir(self) -> Path:
+        return self.base_output_dir / "1_graph_objects"
+
+    @property
+    def gcn_embeddings_dir(self) -> Path:
+        return self.base_output_dir / "2_gcn_embeddings"
+
+    @property
+    def word2vec_embeddings_dir(self) -> Path:
+        return self.base_output_dir / "2_word2vec_embeddings"
+
+    @property
+    def transformer_embeddings_dir(self) -> Path:
+        return self.base_output_dir / "2_transformer_embeddings"
+
+    @property
+    def evaluation_results_dir(self) -> Path:
+        return self.base_output_dir / "3_evaluation_results"
+
+    @property
+    def benchmarking_results_dir(self) -> Path:
+        return self.base_output_dir / "4_benchmarking_results"
+
+    @property
+    def checkpoints_dir(self) -> Path:
+        return self.base_output_dir / "checkpoints"
+
+    @property
+    def id_mapping_output_file(self) -> Path:
+        return self.base_output_dir / "mappings/gcn_id_mapping.tsv"
+
+
+@dataclass
+class StagesConfig:
+    """Workflow stage toggles (reference: config.py:20-26)."""
+
+    run_gcn_pipeline: bool = True
+    run_word2vec_pipeline: bool = False
+    run_transformer_pipeline: bool = False
+    run_benchmarking_pipeline: bool = False
+    run_main_ppi_evaluation: bool = False
+    run_dummy_test: bool = False
+    cleanup_dummy_data: bool = False
+
+
+@dataclass
+class GraphBuilderConfig:
+    """N-gram graph ETL knobs (reference: config.py:60-61, 85)."""
+
+    ngram_max_n: int = 3
+    workers: int = field(default_factory=lambda: max(1, (os.cpu_count() or 2) - 4))
+    propagation_epsilon: float = 1e-9
+    # Sequence padding semantics: leading space on the very first sequence,
+    # trailing space on all (reference: data_builder.py:29-35).
+    add_boundary_spaces: bool = True
+    # Chunk size (#sequences) for the streaming ETL shards.
+    sequences_per_shard: int = 50_000
+
+
+@dataclass
+class GCNConfig:
+    """DirectGCN model + hierarchical trainer knobs (reference: config.py:60-113)."""
+
+    hidden_layer_dims: List[int] = field(default_factory=lambda: [256, 128, 64])
+    one_gram_init_dim: int = 512
+    epochs_per_level: int = 500
+    lr: float = 1e-3
+    dropout_rate: float = 0.5
+    weight_decay: float = 1e-4
+    l2_reg_lambda: float = 1e-7
+    use_lr_scheduler: bool = True
+    lr_scheduler_patience: int = 10
+    lr_scheduler_factor: float = 0.5
+    use_early_stopping: bool = True
+    early_stopping_patience: int = 25
+    early_stopping_min_delta: float = 1e-5
+    propagation_epsilon: float = 1e-9
+    max_pe_len: int = 512
+    use_vector_coeffs: bool = True
+    task_types_per_level: Dict[int, str] = field(
+        default_factory=lambda: {1: "next_node", 2: "next_node", 3: "next_node"}
+    )
+    default_task_type: str = "community"
+    closest_aa_k_hops: int = 3
+    # Cluster-GCN-style partitioned training (reference: config.py:98-104).
+    use_cluster_training: bool = True
+    cluster_training_threshold_nodes: int = 10_000
+    target_nodes_per_cluster: int = 500
+    min_clusters: int = 2
+    max_clusters: int = 500
+    # Post-training export.
+    apply_pca: bool = True
+    pca_target_dim: int = 64
+    run_sanity_check_ppi: bool = True
+    sanity_check_epochs: int = 10
+    sanity_check_test_split: float = 0.2
+    # TPU-specific: compute dtype for matmuls/propagation ("bfloat16"|"float32").
+    compute_dtype: str = "float32"
+    # Sparse format selection: "auto" picks dense vs ELL by a roofline byte
+    # model; can be forced to "dense", "ell", or "pallas".
+    spmm_mode: str = "auto"
+
+
+@dataclass
+class Word2VecConfig:
+    """Skip-gram residue embedder knobs (reference: config.py:116-123)."""
+
+    vector_size: int = 100
+    window: int = 5
+    min_count: int = 1
+    epochs: int = 5
+    negative: int = 5
+    pooling_strategy: str = "mean"
+    apply_pca: bool = True
+    batch_size: int = 8192
+    lr: float = 0.025
+
+
+@dataclass
+class TransformerConfig:
+    """Transformer inference embedder knobs (reference: config.py:126-133)."""
+
+    models_to_run: List[Dict[str, Any]] = field(
+        default_factory=lambda: [
+            {"name": "ProtBERT", "hf_id": "Rostlab/prot_bert", "is_t5": False, "batch_size_multiplier": 1}
+        ]
+    )
+    max_length: int = 1024
+    base_batch_size: int = 16
+    pooling_strategy: str = "mean"
+    apply_pca: bool = True
+
+
+@dataclass
+class EvalConfig:
+    """PPI link-prediction evaluation knobs (reference: config.py:136-172)."""
+
+    early_stopping_patience: int = 10
+    perform_h5_integrity_check: bool = True
+    sample_negative_pairs: Optional[int] = 100_000
+    embedding_files_to_evaluate: List[Dict[str, Any]] = field(default_factory=list)
+    edge_embedding_method: str = "concatenate"
+    n_folds: int = 5
+    mlp_dense1_units: int = 128
+    mlp_dropout1_rate: float = 0.4
+    mlp_dense2_units: int = 64
+    mlp_dropout2_rate: float = 0.4
+    mlp_l2_reg: float = 1e-5
+    batch_size: int = 1024
+    epochs: int = 300
+    learning_rate: float = 1e-3
+    k_values_for_table: List[int] = field(default_factory=lambda: [50, 100])
+    main_embedding_for_stats: str = "ProtGramDirectGCN"
+    statistical_test_alpha: float = 0.05
+    plot_training_history: bool = True
+
+
+@dataclass
+class BenchmarkConfig:
+    """GNN zoo benchmark suite knobs (reference: config.py:49-57)."""
+
+    node_classification_datasets: List[str] = field(
+        default_factory=lambda: ["KarateClub", "Cora", "CiteSeer", "PubMed", "Cornell", "Texas", "Wisconsin"]
+    )
+    save_embeddings: bool = True
+    apply_pca_to_embeddings: bool = True
+    pca_target_dim: int = 64
+    test_on_undirected: bool = True
+    split_ratios: Dict[str, float] = field(default_factory=lambda: {"train": 0.1, "val": 0.1, "test": 0.8})
+    epochs: int = 200
+    lr: float = 0.01
+    weight_decay: float = 5e-4
+    hidden_dim: int = 64
+    dataset_root: Optional[Path] = None
+
+
+@dataclass
+class ParallelConfig:
+    """Device-mesh / partitioning knobs.
+
+    No reference counterpart — the reference is single-process single-device
+    (SURVEY.md section 2.3); this subsystem is new TPU-native work.
+    """
+
+    # Mesh axis sizes; None -> use all local devices on the "nodes" axis.
+    mesh_nodes: Optional[int] = None
+    mesh_feats: int = 1
+    # Edge partitioning strategy for multi-chip: "block" (contiguous node
+    # ranges) or "bfs" (locality-grown partitions).
+    partition_strategy: str = "block"
+
+
+@dataclass
+class Config:
+    """Top-level framework configuration."""
+
+    random_state: int = 42
+    debug_verbose: bool = False
+    paths: PathsConfig = field(default_factory=PathsConfig)
+    stages: StagesConfig = field(default_factory=StagesConfig)
+    graph_builder: GraphBuilderConfig = field(default_factory=GraphBuilderConfig)
+    gcn: GCNConfig = field(default_factory=GCNConfig)
+    word2vec: Word2VecConfig = field(default_factory=Word2VecConfig)
+    transformer: TransformerConfig = field(default_factory=TransformerConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    benchmark: BenchmarkConfig = field(default_factory=BenchmarkConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    id_mapping_mode: str = "regex"  # 'regex' | 'api' | 'none'
+
+    # ------------------------------------------------------------------
+    # Override mechanisms (the reference had none; users edited config.py).
+    # ------------------------------------------------------------------
+
+    def apply_overrides(self, overrides: Dict[str, Any]) -> "Config":
+        """Apply dotted-path overrides, e.g. {"gcn.lr": 3e-4}."""
+        for key, value in overrides.items():
+            obj: Any = self
+            parts = key.split(".")
+            for part in parts[:-1]:
+                obj = getattr(obj, part)
+            leaf = parts[-1]
+            if not hasattr(obj, leaf):
+                raise KeyError(f"Unknown config key: {key}")
+            current = getattr(obj, leaf)
+            if isinstance(current, Path) and isinstance(value, str):
+                value = Path(value)
+            setattr(obj, leaf, value)
+        return self
+
+    @classmethod
+    def from_json(cls, path: os.PathLike) -> "Config":
+        with open(path) as f:
+            overrides = json.load(f)
+        return cls().apply_overrides(_flatten(overrides))
+
+    def to_dict(self) -> Dict[str, Any]:
+        def convert(obj):
+            if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+                return {f.name: convert(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+            if isinstance(obj, Path):
+                return str(obj)
+            if isinstance(obj, dict):
+                return {k: convert(v) for k, v in obj.items()}
+            if isinstance(obj, list):
+                return [convert(v) for v in obj]
+            return obj
+
+        return convert(self)
+
+
+def _flatten(nested: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    flat: Dict[str, Any] = {}
+    for k, v in nested.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict) and not k.endswith("_per_level") and k not in (
+            "split_ratios",
+        ):
+            flat.update(_flatten(v, key + "."))
+        else:
+            flat[key] = v
+    return flat

@@ -1,0 +1,254 @@
+"""DirectGCN: dual-path directed GCN with hierarchical gating — TPU-native.
+
+Functional (init/apply) re-design of the reference model
+(reference: src/models/protgram_directgcn.py:20-222).  Exact parameter
+inventory per layer: 4 weight matrices (main_in, main_out, undirected,
+shared), 6 bias vectors, 5 per-node gating vectors [N,1] (or scalars), and a
+per-node constant [N, out]; network-level: optional positional-encoding
+table, residual projections, and a 2-layer decoder head.
+
+TPU-first restructuring of the 6-propagation layer (reference forward,
+protgram_directgcn.py:100-113):  propagation is linear, so
+``P(X·W_main) + P(X·W_shared) == P(X·(W_main + W_shared))``.  We compute one
+fused dense projection per path — a single [N, F_in]×[F_in, 3·F_out] MXU
+matmul — followed by exactly 3 sparse propagations (one per edge set)
+instead of 6.  Bias algebra is preserved: the per-path bias is
+``b_main + b_shared_path`` added after propagation.  Set ``fused=False`` to
+run the literal 6-propagation dataflow for parity checking.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from protgram_directgcn_tpu.graph.structure import DeviceGraph
+from protgram_directgcn_tpu.ops.spmm import propagate
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class DirectGCNConfig:
+    """Static model hyperparameters (hashable; safe to close over in jit)."""
+
+    layer_dims: Tuple[int, ...]  # [in, hidden..., out] (>= 2 entries)
+    num_nodes: int
+    num_classes: int
+    n_gram_len: int
+    one_gram_dim: int = 0  # > 0 only at level n=1 (trainer contract)
+    max_pe_len: int = 512
+    dropout: float = 0.5
+    decoder_dropout: float = 0.5
+    use_vector_coeffs: bool = True
+    l2_eps: float = 1e-12
+    leaky_relu_slope: float = 0.01
+    fused: bool = True
+    use_pallas: bool = False
+
+    def __post_init__(self):
+        if len(self.layer_dims) < 2:
+            raise ValueError("layer_dims must contain at least input and output dims")
+
+
+# ----------------------------------------------------------------------------
+# Initialization (matches reference reset_parameters, protgram_directgcn.py:70-91)
+# ----------------------------------------------------------------------------
+
+
+def _xavier_uniform(key, shape, fan_in, fan_out, dtype=jnp.float32):
+    limit = (6.0 / (fan_in + fan_out)) ** 0.5
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def _torch_linear_init(key, in_dim, out_dim, dtype=jnp.float32):
+    """torch nn.Linear default init (kaiming_uniform(a=sqrt(5)) + bias bound)."""
+    kw, kb = jax.random.split(key)
+    limit = (1.0 / in_dim) ** 0.5
+    w = jax.random.uniform(kw, (in_dim, out_dim), dtype, -limit, limit)
+    b = jax.random.uniform(kb, (out_dim,), dtype, -limit, limit)
+    return w, b
+
+
+def _init_layer(key, in_dim: int, out_dim: int, num_nodes: int, use_vector_coeffs: bool) -> Params:
+    keys = jax.random.split(key, 6)
+    p: Params = {
+        # Stored [in, out] (applied as x @ w); xavier_uniform is symmetric in
+        # fan_in/fan_out so matches torch's [out, in] init.
+        "w_main_in": _xavier_uniform(keys[0], (in_dim, out_dim), in_dim, out_dim),
+        "w_main_out": _xavier_uniform(keys[1], (in_dim, out_dim), in_dim, out_dim),
+        "w_und": _xavier_uniform(keys[2], (in_dim, out_dim), in_dim, out_dim),
+        "w_shared": _xavier_uniform(keys[3], (in_dim, out_dim), in_dim, out_dim),
+        "b_main_in": jnp.zeros((out_dim,)),
+        "b_main_out": jnp.zeros((out_dim,)),
+        "b_und": jnp.zeros((out_dim,)),
+        "b_shared_in": jnp.zeros((out_dim,)),
+        "b_shared_out": jnp.zeros((out_dim,)),
+        "b_shared_und": jnp.zeros((out_dim,)),
+    }
+    gate_shape = (num_nodes, 1) if (use_vector_coeffs and num_nodes > 0) else (1,)
+    for name in ("c_in", "c_out", "c_directed", "c_undirected", "c_all"):
+        p[name] = jnp.ones(gate_shape)
+    if num_nodes > 0:
+        # torch xavier on [N, out]: fan_in = out, fan_out = N
+        # (reference: protgram_directgcn.py:90-91).
+        p["constant"] = _xavier_uniform(keys[4], (num_nodes, out_dim), out_dim, num_nodes)
+    else:
+        p["constant"] = None
+    return p
+
+
+def init_directgcn_params(key: jax.Array, cfg: DirectGCNConfig) -> Params:
+    dims = cfg.layer_dims
+    n_layers = len(dims) - 1
+    keys = jax.random.split(key, n_layers + 3)
+    layers = []
+    res_projs: List[Optional[Dict[str, jnp.ndarray]]] = []
+    for i in range(n_layers):
+        sub = jax.random.split(keys[i], 2)
+        layers.append(
+            _init_layer(sub[0], dims[i], dims[i + 1], cfg.num_nodes,
+                        cfg.use_vector_coeffs and cfg.num_nodes > 0)
+        )
+        if dims[i] != dims[i + 1]:
+            w, b = _torch_linear_init(sub[1], dims[i], dims[i + 1])
+            res_projs.append({"w": w, "b": b})
+        else:
+            res_projs.append(None)  # identity residual
+
+    final_dim = dims[-1]
+    hidden = final_dim // 2 if final_dim > 1 else 1
+    dk = jax.random.split(keys[n_layers], 2)
+    dw1, db1 = _torch_linear_init(dk[0], final_dim, hidden)
+    dw2, db2 = _torch_linear_init(dk[1], hidden, cfg.num_classes)
+
+    params: Params = {
+        "layers": layers,
+        "res_projs": res_projs,
+        "decoder": {"w1": dw1, "b1": db1, "w2": dw2, "b2": db2},
+    }
+    if cfg.one_gram_dim > 0 and cfg.max_pe_len > 0:
+        # torch nn.Embedding default init: N(0, 1)
+        # (reference: protgram_directgcn.py:156-158).
+        params["pe_table"] = jax.random.normal(keys[n_layers + 1], (cfg.max_pe_len, cfg.one_gram_dim))
+    return params
+
+
+# ----------------------------------------------------------------------------
+# Forward
+# ----------------------------------------------------------------------------
+
+
+def _gather_node_params(p: Params, original_indices: Optional[jnp.ndarray]):
+    """Per-node gates/constant, gathered for subgraph batches
+    (reference: protgram_directgcn.py:116-128)."""
+    names = ("c_in", "c_out", "c_directed", "c_undirected", "c_all")
+    if original_indices is not None and p["c_in"].ndim == 2:
+        gates = tuple(p[n][original_indices] for n in names)
+        const = p["constant"][original_indices] if p["constant"] is not None else 0.0
+    else:
+        gates = tuple(p[n] for n in names)
+        const = p["constant"] if p["constant"] is not None else 0.0
+    return gates, const
+
+
+def _layer_apply(
+    p: Params,
+    graph: DeviceGraph,
+    x: jnp.ndarray,
+    cfg: DirectGCNConfig,
+    original_indices: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """One DirectGCN layer (reference forward: protgram_directgcn.py:93-135)."""
+    use_pallas = cfg.use_pallas
+    if cfg.fused:
+        # One fused MXU matmul for all three paths, then 3 propagations.
+        w_cat = jnp.concatenate(
+            [p["w_main_in"] + p["w_shared"], p["w_main_out"] + p["w_shared"],
+             p["w_und"] + p["w_shared"]], axis=1,
+        )
+        proj = x @ w_cat  # [N, 3*out]
+        out_dim = p["w_main_in"].shape[1]
+        x_in, x_out, x_und = (
+            proj[:, :out_dim], proj[:, out_dim : 2 * out_dim], proj[:, 2 * out_dim :]
+        )
+        ic = propagate(graph.p_in, x_in, use_pallas) + p["b_main_in"] + p["b_shared_in"]
+        oc = propagate(graph.p_out, x_out, use_pallas) + p["b_main_out"] + p["b_shared_out"]
+        uc = propagate(graph.p_und, x_und, use_pallas) + p["b_und"] + p["b_shared_und"]
+    else:
+        # Literal 6-propagation dataflow for parity testing.
+        xs = x @ p["w_shared"]
+        ic = (propagate(graph.p_in, x @ p["w_main_in"], use_pallas) + p["b_main_in"]) + (
+            propagate(graph.p_in, xs, use_pallas) + p["b_shared_in"]
+        )
+        oc = (propagate(graph.p_out, x @ p["w_main_out"], use_pallas) + p["b_main_out"]) + (
+            propagate(graph.p_out, xs, use_pallas) + p["b_shared_out"]
+        )
+        uc = (propagate(graph.p_und, x @ p["w_und"], use_pallas) + p["b_und"]) + (
+            propagate(graph.p_und, xs, use_pallas) + p["b_shared_und"]
+        )
+
+    (c_in, c_out, c_dir, c_und, c_all), const = _gather_node_params(p, original_indices)
+    directed = c_dir * (c_in * ic + c_out * oc)
+    undirected = c_und * uc
+    return c_all * (undirected + directed) + const
+
+
+def _apply_pe(params: Params, x: jnp.ndarray, cfg: DirectGCNConfig) -> jnp.ndarray:
+    """Per-slot learned positional encoding for 1-gram-composed features
+    (reference: protgram_directgcn.py:182-193)."""
+    if "pe_table" not in params:
+        return x
+    n, d1 = cfg.n_gram_len, cfg.one_gram_dim
+    if n <= 0 or d1 <= 0 or x.shape[1] != n * d1:
+        return x
+    pos = min(n, cfg.max_pe_len)
+    xr = x.reshape(-1, n, d1)
+    xr = xr.at[:, :pos, :].add(params["pe_table"][:pos][None, :, :])
+    return xr.reshape(-1, n * d1)
+
+
+def directgcn_apply(
+    params: Params,
+    graph: DeviceGraph,
+    x: jnp.ndarray,
+    cfg: DirectGCNConfig,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    original_indices: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (log_softmax logits, L2-normalized embeddings)
+    (reference: protgram_directgcn.py:195-222)."""
+    h = _apply_pe(params, x, cfg)
+    n_layers = len(params["layers"])
+    if train and rng is not None:
+        drop_keys = jax.random.split(rng, n_layers + 1)
+    else:
+        drop_keys = [None] * (n_layers + 1)
+
+    for i in range(n_layers):
+        h_res = h
+        gcn_out = _layer_apply(params["layers"][i], graph, h_res, cfg, original_indices)
+        rp = params["res_projs"][i]
+        res_out = h_res if rp is None else h_res @ rp["w"] + rp["b"]
+        h = jax.nn.leaky_relu(gcn_out + res_out, negative_slope=cfg.leaky_relu_slope)
+        if train and drop_keys[i] is not None and cfg.dropout > 0:
+            keep = 1.0 - cfg.dropout
+            mask = jax.random.bernoulli(drop_keys[i], keep, h.shape)
+            h = jnp.where(mask, h / keep, 0.0)
+
+    dec = params["decoder"]
+    z = jax.nn.relu(h @ dec["w1"] + dec["b1"])
+    if train and drop_keys[-1] is not None and cfg.decoder_dropout > 0:
+        keep = 1.0 - cfg.decoder_dropout
+        mask = jax.random.bernoulli(drop_keys[-1], keep, z.shape)
+        z = jnp.where(mask, z / keep, 0.0)
+    logits = z @ dec["w2"] + dec["b2"]
+
+    norm = jnp.linalg.norm(h, axis=-1, keepdims=True)
+    normalized = h / (norm + cfg.l2_eps)
+    return jax.nn.log_softmax(logits, axis=-1), normalized

@@ -1,0 +1,118 @@
+"""Pallas TPU kernel: fused gather→multiply→accumulate ELL SpMM.
+
+The ELL propagation ``out[i] = sum_k w[i,k] · x[idx[i,k]]`` is HBM-bandwidth
+bound.  The XLA fallback (`ops/spmm._ell_apply`) materialises the gathered
+[N, chunk, F] intermediate, costing ~2 round trips per edge slot.  This
+kernel keeps a feature tile of ``x`` resident in VMEM and gathers rows with
+per-row dynamic slices, so each edge slot moves its feature row exactly once
+from VMEM — no HBM round trip for the gathered intermediate.
+
+Applicability: the source feature tile [N_in, F_TILE] must fit in VMEM, so
+this kernel covers graphs up to ~30k nodes (all n<=3 n-gram levels and every
+benchmark-suite graph).  Larger graphs use the XLA path; a prefix-block
+dense-biclique kernel for 5-gram-scale graphs is the planned follow-up (the
+sorted n-gram vocabulary makes A a union of small dense bicliques: sources
+"aBC" → targets "BC*" are contiguous ranges).
+
+Backward reuses the same kernel on the pre-built transpose orientation
+(mirroring the reference's dual A_out/A_in storage, graph_utils.py:154-158).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Max VMEM bytes for the resident source-feature tile.
+_X_VMEM_BUDGET = 8 * 1024 * 1024
+_TILE_N = 8
+_F_TILE = 128
+
+
+def _ell_kernel(idx_ref, w_ref, x_ref, o_ref):
+    tile_n, k_slots = idx_ref.shape
+    f_tile = x_ref.shape[1]
+
+    def body(k, acc):
+        rows = [x_ref[pl.ds(idx_ref[r, k], 1), :] for r in range(tile_n)]
+        gathered = jnp.concatenate(rows, axis=0)  # [tile_n, f_tile]
+        wk = w_ref[:, pl.ds(k, 1)]  # [tile_n, 1]
+        return acc + wk * gathered
+
+    acc = jax.lax.fori_loop(0, k_slots, body, jnp.zeros((tile_n, f_tile), jnp.float32))
+    o_ref[:] = acc
+
+
+def _pad_rows(a: jnp.ndarray, multiple: int) -> jnp.ndarray:
+    n = a.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+    return a
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ell_pallas_raw(idx, w, x, interpret=False):
+    n_out = idx.shape[0]
+    f = x.shape[1]
+    idx_p = _pad_rows(idx, _TILE_N)
+    w_p = _pad_rows(w, _TILE_N)
+    n_pad = idx_p.shape[0]
+    f_pad = (-f) % _F_TILE
+    x_p = jnp.pad(x, ((0, 0), (0, f_pad))) if f_pad else x
+    f_total = x_p.shape[1]
+    k_slots = idx_p.shape[1]
+
+    grid = (n_pad // _TILE_N, f_total // _F_TILE)
+    out = pl.pallas_call(
+        _ell_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TILE_N, k_slots), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TILE_N, k_slots), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((x_p.shape[0], _F_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TILE_N, _F_TILE), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, f_total), jnp.float32),
+        interpret=interpret,
+    )(idx_p, w_p, x_p.astype(jnp.float32))
+    return out[:n_out, :f]
+
+
+def pallas_supported(n_in: int, f: int = _F_TILE) -> bool:
+    return n_in * _F_TILE * 4 <= _X_VMEM_BUDGET
+
+
+@jax.custom_vjp
+def _propagate_ell_pallas(idx, w, idx_t, w_t, x):
+    return _ell_pallas_raw(idx, w, x)
+
+
+def _fwd(idx, w, idx_t, w_t, x):
+    return _ell_pallas_raw(idx, w, x), (idx, w, idx_t, w_t)
+
+
+def _bwd(res, g):
+    idx, w, idx_t, w_t = res
+    dx = _ell_pallas_raw(idx_t, w_t, g)
+    z_i = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    z_it = np.zeros(idx_t.shape, dtype=jax.dtypes.float0)
+    return (z_i, jnp.zeros_like(w), z_it, jnp.zeros_like(w_t), dx)
+
+
+_propagate_ell_pallas.defvjp(_fwd, _bwd)
+
+
+def propagate_ell_pallas(adj, x: jnp.ndarray) -> jnp.ndarray:
+    """Pallas ELL propagation with automatic fallback to the XLA path."""
+    n_in = adj.idx_t.shape[0]
+    if not pallas_supported(n_in):
+        from protgram_directgcn_tpu.ops.spmm import _propagate_ell
+
+        return _propagate_ell(adj.idx, adj.w, adj.idx_t, adj.w_t, x)
+    return _propagate_ell_pallas(adj.idx, adj.w, adj.idx_t, adj.w_t, x)

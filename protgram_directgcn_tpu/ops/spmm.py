@@ -1,0 +1,317 @@
+"""TPU-native sparse propagation (SpMM) operators.
+
+Semantics follow the reference's message passing exactly: given an edge list
+(src, tgt, w), ``propagate(adj, x)[i] = sum over edges (j -> i) of w * x[j]``
+— messages flow source→target and are sum-aggregated at the target
+(reference: protgram_directgcn.py:100-140, PyG MessagePassing aggr='add').
+
+Three device formats, selected by a roofline byte model (`choose_format`):
+
+- ``DenseAdj``:  A^T stored dense; propagation is a single MXU matmul.  For
+  small graphs (n-gram levels n<=3, ~10^4 nodes) this moves *fewer* bytes
+  than any sparse scheme (2 bytes/entry in bf16 vs 4·F bytes/edge for
+  gathered rows) and runs at matmul speed-of-light.
+- ``EllAdj``:   padded neighbor lists [N, K] — the natural format for n-gram
+  transition graphs, whose in/out degree is bounded by |alphabet|+1, so the
+  padding overhead is tiny and all shapes are static for XLA.  Forward is a
+  K-chunked gather+FMA; backward uses the pre-built transpose orientation
+  (no scatter — mirrors the reference keeping both A_out/A_in,
+  graph_utils.py:154-158).
+- ``CooAdj``:   sorted-by-target COO + segment_sum, for degree-skewed
+  benchmark graphs where ELL padding would explode.
+
+A Pallas kernel (`ops/pallas_spmm.py`) implements the fused
+gather→multiply→accumulate ELL propagation for HBM-resident graphs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+# ----------------------------------------------------------------------------
+# Device adjacency formats (pytrees)
+# ----------------------------------------------------------------------------
+
+
+@struct.dataclass
+class DenseAdj:
+    """Dense A^T (out[i] = sum_j at[i, j] x[j])."""
+
+    at: jnp.ndarray  # [n_out, n_in], compute dtype
+
+    @property
+    def n_out(self) -> int:
+        return self.at.shape[0]
+
+
+@struct.dataclass
+class EllAdj:
+    """Padded neighbor lists, both orientations.
+
+    ``idx[i, k]`` is the k-th source feeding target i with weight ``w[i, k]``
+    (padding slots have w == 0 and idx == 0).  ``idx_t/w_t`` is the transpose
+    orientation (targets per source) used for the backward pass.
+    """
+
+    idx: jnp.ndarray  # [n_out, K] int32
+    w: jnp.ndarray  # [n_out, K] f32
+    idx_t: jnp.ndarray  # [n_in, Kt] int32
+    w_t: jnp.ndarray  # [n_in, Kt] f32
+
+    @property
+    def n_out(self) -> int:
+        return self.idx.shape[0]
+
+
+@struct.dataclass
+class CooAdj:
+    """Sorted-by-target COO with transpose orientation for backward."""
+
+    src: jnp.ndarray  # [nnz] int32
+    tgt: jnp.ndarray  # [nnz] int32 (sorted ascending)
+    w: jnp.ndarray  # [nnz] f32
+    src_t: jnp.ndarray  # transpose orientation, sorted by its own target (=src)
+    tgt_t: jnp.ndarray
+    w_t: jnp.ndarray
+    n_out: int = struct.field(pytree_node=False, default=0)
+    n_in: int = struct.field(pytree_node=False, default=0)
+
+
+Adjacency = Union[DenseAdj, EllAdj, CooAdj]
+
+
+# ----------------------------------------------------------------------------
+# Host-side builders
+# ----------------------------------------------------------------------------
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _ell_one_sided(src: np.ndarray, tgt: np.ndarray, w: np.ndarray, n_out: int, pad_multiple: int = 4):
+    """Group (src, w) by tgt into padded [n_out, K] arrays."""
+    src = np.asarray(src, dtype=np.int64)
+    tgt = np.asarray(tgt, dtype=np.int64)
+    w = np.asarray(w, dtype=np.float32)
+    deg = np.bincount(tgt, minlength=n_out) if len(tgt) else np.zeros(n_out, dtype=np.int64)
+    k = max(1, int(deg.max()) if len(deg) else 1)
+    k = _round_up(k, pad_multiple)
+    idx = np.zeros((n_out, k), dtype=np.int32)
+    wm = np.zeros((n_out, k), dtype=np.float32)
+    if len(tgt):
+        order = np.argsort(tgt, kind="stable")
+        ts, ss, ws = tgt[order], src[order], w[order]
+        starts = np.zeros(n_out + 1, dtype=np.int64)
+        np.cumsum(deg, out=starts[1:])
+        offsets = np.arange(len(ts), dtype=np.int64) - starts[ts]
+        idx[ts, offsets] = ss.astype(np.int32)
+        wm[ts, offsets] = ws
+    return idx, wm
+
+
+def build_ell(
+    src: np.ndarray, tgt: np.ndarray, w: np.ndarray, n_out: int, n_in: Optional[int] = None
+) -> EllAdj:
+    n_in = n_out if n_in is None else n_in
+    idx, wm = _ell_one_sided(src, tgt, w, n_out)
+    idx_t, wm_t = _ell_one_sided(tgt, src, w, n_in)
+    return EllAdj(
+        idx=jnp.asarray(idx), w=jnp.asarray(wm), idx_t=jnp.asarray(idx_t), w_t=jnp.asarray(wm_t)
+    )
+
+
+def build_dense(
+    src: np.ndarray,
+    tgt: np.ndarray,
+    w: np.ndarray,
+    n_out: int,
+    n_in: Optional[int] = None,
+    dtype: jnp.dtype = jnp.float32,
+) -> DenseAdj:
+    n_in = n_out if n_in is None else n_in
+    at = np.zeros((n_out, n_in), dtype=np.float32)
+    if len(src):
+        np.add.at(at, (np.asarray(tgt, np.int64), np.asarray(src, np.int64)), np.asarray(w, np.float32))
+    return DenseAdj(at=jnp.asarray(at, dtype=dtype))
+
+
+def build_coo(
+    src: np.ndarray, tgt: np.ndarray, w: np.ndarray, n_out: int, n_in: Optional[int] = None
+) -> CooAdj:
+    n_in = n_out if n_in is None else n_in
+    src = np.asarray(src, np.int32)
+    tgt = np.asarray(tgt, np.int32)
+    w = np.asarray(w, np.float32)
+    order = np.argsort(tgt, kind="stable")
+    order_t = np.argsort(src, kind="stable")
+    return CooAdj(
+        src=jnp.asarray(src[order]),
+        tgt=jnp.asarray(tgt[order]),
+        w=jnp.asarray(w[order]),
+        src_t=jnp.asarray(tgt[order_t]),
+        tgt_t=jnp.asarray(src[order_t]),
+        w_t=jnp.asarray(w[order_t]),
+        n_out=int(n_out),
+        n_in=int(n_in),
+    )
+
+
+def choose_format(n_out: int, n_in: int, nnz: int, feat_dim: int = 128) -> str:
+    """Pick the adjacency format minimising bytes moved per propagation.
+
+    Dense moves ~2·n_out·n_in bytes (bf16 A^T tiles dominate); ELL moves
+    ~4·F·nnz_padded bytes (one gathered f32 feature row per edge slot).  COO
+    is chosen over ELL when degree skew makes padded nnz explode.
+    """
+    if nnz == 0:
+        return "dense" if n_out * n_in <= 4_000_000 else "coo"
+    deg = float(nnz) / max(n_out, 1)
+    dense_bytes = 2.0 * n_out * n_in
+    ell_pad_factor = 1.25  # typical padding for bounded-degree n-gram graphs
+    ell_bytes = 4.0 * feat_dim * nnz * ell_pad_factor
+    if dense_bytes <= ell_bytes and n_out * n_in * 4 <= 2 << 30:
+        return "dense"
+    # Degree skew estimate is refined by the caller (which knows max degree);
+    # default to ELL for bounded-degree graphs.
+    return "ell" if deg >= 1.0 else "coo"
+
+
+def build_adjacency(
+    src: np.ndarray,
+    tgt: np.ndarray,
+    w: np.ndarray,
+    n_out: int,
+    n_in: Optional[int] = None,
+    mode: str = "auto",
+    feat_dim: int = 128,
+    dtype: jnp.dtype = jnp.float32,
+) -> Adjacency:
+    """Build the device adjacency in the requested (or auto-selected) format."""
+    n_in = n_out if n_in is None else n_in
+    if mode == "auto":
+        mode = choose_format(n_out, n_in, len(src), feat_dim)
+        if mode == "ell" and len(tgt):
+            # Refine: if the max degree is wildly above the mean (power-law
+            # benchmark graphs), padded ELL wastes memory — use COO.
+            deg = np.bincount(np.asarray(tgt, np.int64), minlength=n_out)
+            deg_t = np.bincount(np.asarray(src, np.int64), minlength=n_in)
+            kmax = max(int(deg.max()), int(deg_t.max()))
+            if kmax * max(n_out, n_in) > 8 * len(src):
+                mode = "coo"
+    if mode == "dense":
+        return build_dense(src, tgt, w, n_out, n_in, dtype=dtype)
+    if mode in ("ell", "pallas"):
+        return build_ell(src, tgt, w, n_out, n_in)
+    if mode == "coo":
+        return build_coo(src, tgt, w, n_out, n_in)
+    raise ValueError(f"Unknown adjacency mode: {mode}")
+
+
+# ----------------------------------------------------------------------------
+# Propagation implementations
+# ----------------------------------------------------------------------------
+
+# Cap on the [chunk, N, F] gather intermediate in the ELL forward.
+_ELL_CHUNK_BYTES = 256 * 1024 * 1024
+
+
+def _ell_apply(idx: jnp.ndarray, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """out[i] = sum_k w[i,k] * x[idx[i,k]] via K-chunked gather+FMA."""
+    n, k = idx.shape
+    f = x.shape[-1]
+    chunk = max(1, min(k, _ELL_CHUNK_BYTES // max(1, 4 * n * f)))
+    out_dtype = jnp.promote_types(x.dtype, w.dtype)
+    acc = jnp.zeros((n, f), dtype=out_dtype)
+
+    num_chunks = (k + chunk - 1) // chunk
+    if num_chunks * chunk != k:
+        pad = num_chunks * chunk - k
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+
+    idx_c = idx.reshape(n, num_chunks, chunk).transpose(1, 0, 2)  # [C, N, chunk]
+    w_c = w.reshape(n, num_chunks, chunk).transpose(1, 0, 2)
+
+    def body(acc, args):
+        ic, wc = args  # [N, chunk]
+        gathered = jnp.take(x, ic, axis=0)  # [N, chunk, F]
+        acc = acc + jnp.einsum(
+            "nc,ncf->nf", wc, gathered, preferred_element_type=out_dtype
+        )
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, acc, (idx_c, w_c))
+    return acc
+
+
+@jax.custom_vjp
+def _propagate_ell(idx, w, idx_t, w_t, x):
+    return _ell_apply(idx, w, x)
+
+
+def _propagate_ell_fwd(idx, w, idx_t, w_t, x):
+    return _ell_apply(idx, w, x), (idx, w, idx_t, w_t)
+
+
+def _propagate_ell_bwd(res, g):
+    idx, w, idx_t, w_t = res
+    dx = _ell_apply(idx_t, w_t, g)  # transpose-orientation gather, no scatter
+    z_i = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    z_it = np.zeros(idx_t.shape, dtype=jax.dtypes.float0)
+    return (z_i, jnp.zeros_like(w), z_it, jnp.zeros_like(w_t), dx)
+
+
+_propagate_ell.defvjp(_propagate_ell_fwd, _propagate_ell_bwd)
+
+
+def _coo_apply(src, tgt, w, x, n_out):
+    msgs = w[:, None] * jnp.take(x, src, axis=0)
+    return jax.ops.segment_sum(msgs, tgt, num_segments=n_out, indices_are_sorted=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _propagate_coo(src, tgt, w, src_t, tgt_t, w_t, n_out, n_in, x):
+    return _coo_apply(src, tgt, w, x, n_out)
+
+
+def _propagate_coo_fwd(src, tgt, w, src_t, tgt_t, w_t, n_out, n_in, x):
+    # fwd receives args in original positions; bwd gets nondiff args first.
+    return _coo_apply(src, tgt, w, x, n_out), (src, tgt, w, src_t, tgt_t, w_t)
+
+
+def _propagate_coo_bwd(n_out, n_in, res, g):
+    src, tgt, w, src_t, tgt_t, w_t = res
+    dx = _coo_apply(src_t, tgt_t, w_t, g, n_in)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (f0(src), f0(tgt), jnp.zeros_like(w), f0(src_t), f0(tgt_t), jnp.zeros_like(w_t), dx)
+
+
+# custom_vjp positional plumbing: nondiff_argnums must come first in fwd/bwd.
+_propagate_coo.defvjp(_propagate_coo_fwd, _propagate_coo_bwd)
+
+
+def propagate(adj: Adjacency, x: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
+    """Sum-aggregate weighted source features at each target node."""
+    if isinstance(adj, DenseAdj):
+        # In f32 mode force full-precision MXU passes (TPU defaults to bf16);
+        # in bf16 mode one pass is the intended speed/accuracy trade.
+        precision = "highest" if adj.at.dtype == jnp.float32 else "default"
+        return jnp.dot(
+            adj.at, x.astype(adj.at.dtype), precision=precision, preferred_element_type=jnp.float32
+        )
+    if isinstance(adj, EllAdj):
+        if use_pallas:
+            from protgram_directgcn_tpu.ops.pallas_spmm import propagate_ell_pallas
+
+            return propagate_ell_pallas(adj, x)
+        return _propagate_ell(adj.idx, adj.w, adj.idx_t, adj.w_t, x)
+    if isinstance(adj, CooAdj):
+        return _propagate_coo(adj.src, adj.tgt, adj.w, adj.src_t, adj.tgt_t, adj.w_t, adj.n_out, adj.n_in, x)
+    raise TypeError(f"Unknown adjacency type: {type(adj)}")

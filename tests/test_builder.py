@@ -1,0 +1,100 @@
+"""N-gram graph builder ETL semantics tests
+(reference contract: data_builder.py:29-54, 141-332)."""
+
+import numpy as np
+
+from protgram_directgcn_tpu.graph.builder import NgramGraphBuilder, preprocess_sequences
+from protgram_directgcn_tpu.graph.structure import load_graph, save_graph
+
+
+def brute_force_graph(sequences, n):
+    """Independent oracle: dict-based n-gram counting with the reference's
+    padding (leading space on first sequence, trailing space on all)."""
+    processed = []
+    for i, (_, seq) in enumerate(sequences):
+        text = str(seq)
+        if i == 0:
+            text = " " + text
+        text = text + " "
+        processed.append(text)
+    ngrams = set()
+    for text in processed:
+        if len(text) >= n:
+            for i in range(len(text) - n + 1):
+                ngrams.add(text[i : i + n])
+    vocab = sorted(ngrams)
+    nid = {g: i for i, g in enumerate(vocab)}
+    counts = {}
+    for text in processed:
+        if len(text) >= n + 1:
+            for i in range(len(text) - n):
+                s, t = nid[text[i : i + n]], nid[text[i + 1 : i + 1 + n]]
+                counts[(s, t)] = counts.get((s, t), 0) + 1
+    return vocab, counts
+
+
+SEQS = [("P1", "MKTAYIAKQR"), ("P2", "QDKTAYIAK"), ("P3", "MKTAYHRQD")]
+
+
+def test_padding_semantics():
+    out = list(preprocess_sequences(SEQS))
+    assert out[0] == " MKTAYIAKQR "
+    assert out[1] == "QDKTAYIAK "
+    assert out[2] == "MKTAYHRQD "
+
+
+def test_builder_matches_bruteforce_all_levels():
+    builder = NgramGraphBuilder(n_max=3)
+    graphs = builder.build_from_sequences(SEQS)
+    for g in graphs:
+        vocab, counts = brute_force_graph(SEQS, g.n)
+        assert g.vocab.tolist() == vocab
+        got = {(int(s), int(t)): int(w) for s, t, w in zip(g.src, g.tgt, g.weight)}
+        assert got == counts
+
+
+def test_builder_sharding_invariance():
+    """Shard boundaries must not change the result."""
+    b1 = NgramGraphBuilder(n_max=2, shard_size=1)
+    b2 = NgramGraphBuilder(n_max=2, shard_size=100)
+    g1 = b1.build_from_sequences(SEQS)[1]
+    g2 = b2.build_from_sequences(SEQS)[1]
+    assert g1.vocab.tolist() == g2.vocab.tolist()
+    d1 = {(int(s), int(t)): int(w) for s, t, w in zip(g1.src, g1.tgt, g1.weight)}
+    d2 = {(int(s), int(t)): int(w) for s, t, w in zip(g2.src, g2.tgt, g2.weight)}
+    assert d1 == d2
+
+
+def test_vocab_sorted_space_first():
+    g = NgramGraphBuilder(n_max=1).build_from_sequences(SEQS)[0]
+    assert g.vocab[0] == " "  # space sorts before letters
+    assert all(g.vocab[i] < g.vocab[i + 1] for i in range(len(g.vocab) - 1))
+
+
+def test_roundtrip_npz(tmp_path):
+    g = NgramGraphBuilder(n_max=2).build_from_sequences(SEQS)[1]
+    path = tmp_path / "g.npz"
+    save_graph(g, path)
+    g2 = load_graph(path)
+    assert g2.n == 2
+    assert g2.vocab.tolist() == g.vocab.tolist()
+    np.testing.assert_array_equal(g2.src, g.src)
+    np.testing.assert_array_equal(g2.weight, g.weight)
+
+
+def test_run_writes_artifacts(toy_fasta, tmp_path):
+    builder = NgramGraphBuilder(n_max=2)
+    paths = builder.run(fasta_path=toy_fasta, output_dir=tmp_path / "graphs")
+    assert len(paths) == 2
+    for p in paths:
+        g = load_graph(p)
+        assert g.num_nodes > 0 and g.num_edges > 0
+
+
+def test_lookup_vectorized():
+    g = NgramGraphBuilder(n_max=2).build_from_sequences(SEQS)[1]
+    queries = np.array(["MK", "ZZ", "KT"], dtype=g.vocab.dtype)
+    ids = g.lookup(queries)
+    assert ids[1] == -1
+    assert g.vocab[ids[0]] == "MK"
+    assert g.vocab[ids[2]] == "KT"
