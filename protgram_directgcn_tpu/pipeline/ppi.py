@@ -1,0 +1,284 @@
+"""PPI link-prediction evaluation: stratified k-fold CV over embedding sets.
+
+Re-design of the reference's PPIPipeline (reference: src/pipeline/ppi_main.py)
+with the Keras MLP replaced by the JAX MLP and MLflow replaced by structured
+logs + JSON artifacts.  Capability parity:
+
+- dummy-data synthesis mode (ppi_main.py:40-65),
+- streaming pos/neg pair loading with negative sampling (ppi_main.py:274-283),
+- per-embedding H5 integrity check + lazy vector loading (ppi_main.py:313-329),
+- StratifiedKFold CV with class-weighted training (ppi_main.py:86-166),
+- P/R/F1/AUC + ROC + Hits@k/NDCG@k per fold, mean±std aggregation
+  (ppi_main.py:196-240),
+- reporter: summary table, Wilcoxon/Pearson stats, ROC + bar plots
+  (ppi_main.py:377-401).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from protgram_directgcn_tpu.config import Config
+from protgram_directgcn_tpu.models.mlp import MLPConfig, MLPTrainer
+from protgram_directgcn_tpu.utils import embeddings as emb_utils
+from protgram_directgcn_tpu.utils import io as uio
+from protgram_directgcn_tpu.utils.io import logger
+from protgram_directgcn_tpu.utils.results import (
+    EvaluationReporter,
+    binary_classification_metrics,
+    ranking_metrics,
+)
+
+Pair = Tuple[str, str, int]
+
+
+def create_dummy_data(out_dir: os.PathLike, num_proteins: int = 50, dim: int = 16, num_pairs: int = 100, seed: int = 42):
+    """Synthetic H5 + random pos/neg pairs (reference: ppi_main.py:40-65)."""
+    rng = np.random.default_rng(seed)
+    uio.ensure_dir(out_dir)
+    ids = [f"DUMMY_P{i:04d}" for i in range(num_proteins)]
+    h5_path = os.path.join(str(out_dir), "dummy_embeddings.h5")
+    uio.write_h5_embeddings(h5_path, {pid: rng.normal(size=dim).astype(np.float16) for pid in ids})
+    pos_path = os.path.join(str(out_dir), "dummy_positive.csv")
+    neg_path = os.path.join(str(out_dir), "dummy_negative.csv")
+    with open(pos_path, "w") as f:
+        for _ in range(num_pairs):
+            a, b = rng.choice(ids, 2, replace=False)
+            f.write(f"{a},{b}\n")
+    with open(neg_path, "w") as f:
+        for _ in range(num_pairs):
+            a, b = rng.choice(ids, 2, replace=False)
+            f.write(f"{a},{b}\n")
+    return h5_path, pos_path, neg_path
+
+
+def _stratified_kfold_indices(y: np.ndarray, n_folds: int, seed: int) -> List[Tuple[np.ndarray, np.ndarray]]:
+    from sklearn.model_selection import StratifiedKFold
+
+    skf = StratifiedKFold(n_splits=n_folds, shuffle=True, random_state=seed)
+    return [(tr, te) for tr, te in skf.split(np.zeros(len(y)), y)]
+
+
+def _batched(features: np.ndarray, labels: np.ndarray, batch_size: int, rng: np.random.Generator):
+    order = rng.permutation(len(labels))
+    for i in range(0, len(order), batch_size):
+        sel = order[i : i + batch_size]
+        yield features[sel], labels[sel]
+
+
+class PPIPipeline:
+    def __init__(self, config: Optional[Config] = None):
+        self.config = config or Config()
+
+    # ------------------------------------------------------------------
+
+    def _load_pairs(self, use_dummy_data: bool, dummy_dir: Optional[os.PathLike]) -> Tuple[List[Pair], List[Dict[str, Any]]]:
+        cfg = self.config
+        if use_dummy_data:
+            h5, pos, neg = create_dummy_data(
+                dummy_dir or (cfg.paths.base_output_dir / "dummy_ppi"), seed=cfg.random_state
+            )
+            embedding_files = [{"name": "DummyEmbeddings", "path": h5}]
+            pos_pairs = uio.load_interaction_pairs(pos, 1)
+            neg_pairs = uio.load_interaction_pairs(neg, 0)
+        else:
+            embedding_files = cfg.eval.embedding_files_to_evaluate
+            pos_pairs = []
+            for batch in uio.stream_interaction_pairs(cfg.paths.interactions_positive, 1, 8192):
+                pos_pairs.extend(batch)
+            neg_pairs = []
+            for batch in uio.stream_interaction_pairs(
+                cfg.paths.interactions_negative, 0, 8192,
+                sample_n=cfg.eval.sample_negative_pairs, random_state=cfg.random_state,
+            ):
+                neg_pairs.extend(batch)
+        pairs = pos_pairs + neg_pairs
+        rng = np.random.default_rng(self.config.random_state)
+        rng.shuffle(pairs)
+        return pairs, embedding_files
+
+    # ------------------------------------------------------------------
+
+    def _evaluate_embedding(
+        self, name: str, h5_path: os.PathLike, pairs: Sequence[Pair]
+    ) -> Optional[Dict[str, Any]]:
+        cfg = self.config
+        ev = cfg.eval
+        if ev.perform_h5_integrity_check and not uio.check_h5_integrity(h5_path):
+            logger.warning("[%s] H5 integrity check failed (%s)", name, h5_path)
+
+        needed = {p for a, b, _ in pairs for p in (a, b)}
+        with uio.EmbeddingStore(h5_path) as store:
+            available = store.get_keys() & needed
+            vectors = {pid: store[pid] for pid in available}
+        usable = [p for p in pairs if p[0] in vectors and p[1] in vectors]
+        logger.info("[%s] usable pairs: %d/%d", name, len(usable), len(pairs))
+        if len(usable) < 10:
+            logger.error("[%s] too few usable pairs; skipping", name)
+            return None
+        dim = next(iter(vectors.values())).shape[0]
+        feat_dim = dim * 2 if ev.edge_embedding_method == "concatenate" else dim
+
+        feats = np.zeros((len(usable), feat_dim), dtype=np.float16)
+        labels = np.zeros(len(usable), dtype=np.int32)
+        for i, (a, b, y) in enumerate(usable):
+            feats[i] = emb_utils.make_edge_feature(vectors[a], vectors[b], ev.edge_embedding_method)
+            labels[i] = y
+
+        folds = _stratified_kfold_indices(labels, ev.n_folds, cfg.random_state)
+        fold_metrics: List[Dict[str, float]] = []
+        roc_repr = None
+        rng = np.random.default_rng(cfg.random_state)
+        for fold_i, (tr, te) in enumerate(folds):
+            y_tr = labels[tr]
+            # Class weights: n / (2 * count_c) (sklearn 'balanced' convention,
+            # reference: ppi_main.py:113-121).
+            counts = np.bincount(y_tr, minlength=2)
+            cw = {c: len(y_tr) / (2.0 * counts[c]) if counts[c] else 1.0 for c in (0, 1)}
+            trainer = MLPTrainer(
+                MLPConfig(
+                    input_dim=feat_dim,
+                    dense1_units=ev.mlp_dense1_units,
+                    dropout1_rate=ev.mlp_dropout1_rate,
+                    dense2_units=ev.mlp_dense2_units,
+                    dropout2_rate=ev.mlp_dropout2_rate,
+                    l2_reg=ev.mlp_l2_reg,
+                    learning_rate=ev.learning_rate,
+                ),
+                seed=cfg.random_state + fold_i,
+            )
+            best = float("inf")
+            patience = 0
+            for _ in range(ev.epochs):
+                loss = trainer.fit_epoch(
+                    _batched(feats[tr], y_tr.astype(np.float32), ev.batch_size, rng), cw
+                )
+                if loss < best - 1e-6:
+                    best, patience = loss, 0
+                else:
+                    patience += 1
+                    if patience >= ev.early_stopping_patience:
+                        break
+            proba = trainer.predict_proba(feats[te])
+            m = binary_classification_metrics(labels[te], proba)
+            m.update(ranking_metrics(labels[te], proba, ev.k_values_for_table))
+            fold_metrics.append(m)
+            if fold_i == 0:
+                from sklearn.metrics import roc_curve
+
+                fpr, tpr, _ = roc_curve(labels[te], proba)
+                roc_repr = (fpr, tpr)
+            logger.info("[%s] fold %d: auc=%.4f f1=%.4f", name, fold_i + 1, m["auc"], m["f1"])
+
+        result: Dict[str, Any] = {"embedding_name": name, "n_folds": len(fold_metrics)}
+        for key in fold_metrics[0]:
+            vals = np.array([m[key] for m in fold_metrics], dtype=np.float64)
+            result[f"test_{key}"] = float(np.nanmean(vals))
+            result[f"test_{key}_std"] = float(np.nanstd(vals))
+        result["fold_auc_scores"] = [m["auc"] for m in fold_metrics]
+        result["fold_f1_scores"] = [m["f1"] for m in fold_metrics]
+        result["roc_data_representative"] = roc_repr
+        return result
+
+    # ------------------------------------------------------------------
+
+    def run(self, use_dummy_data: bool = False, output_dir: Optional[os.PathLike] = None,
+            dummy_dir: Optional[os.PathLike] = None) -> List[Dict[str, Any]]:
+        cfg = self.config
+        t0 = time.monotonic()
+        output_dir = uio.ensure_dir(output_dir or cfg.paths.evaluation_results_dir)
+        pairs, embedding_files = self._load_pairs(use_dummy_data, dummy_dir)
+        logger.info("PPI evaluation on %d pairs, %d embedding sets", len(pairs), len(embedding_files))
+
+        results = []
+        for entry in embedding_files:
+            name, path = entry["name"], entry["path"]
+            if not os.path.exists(str(path)):
+                logger.warning("[%s] embedding file missing: %s", name, path)
+                continue
+            res = self._evaluate_embedding(name, path, pairs)
+            if res:
+                results.append(res)
+
+        if results:
+            reporter = EvaluationReporter(output_dir, cfg.eval.k_values_for_table)
+            main_name = (
+                cfg.eval.main_embedding_for_stats
+                if any(r["embedding_name"] == cfg.eval.main_embedding_for_stats for r in results)
+                else results[0]["embedding_name"]
+            )
+            reporter.write_summary_file(results, main_name, "test_auc", cfg.eval.statistical_test_alpha)
+            reporter.plot_roc_curves(results)
+            reporter.plot_comparison_charts(results)
+            serializable = [
+                {k: v for k, v in r.items() if k != "roc_data_representative"} for r in results
+            ]
+            with open(os.path.join(str(output_dir), "ppi_results.json"), "w") as f:
+                json.dump(serializable, f, indent=2)
+        logger.info("PPI evaluation finished in %.1fs", time.monotonic() - t0)
+        return results
+
+
+def run_sanity_check_ppi(config: Config, embedding_path: os.PathLike) -> Optional[Dict[str, float]]:
+    """Quick post-training PPI check: single split, small MLP
+    (reference: protgram_directgcn_trainer.py:428-486)."""
+    from sklearn.model_selection import train_test_split
+
+    cfg = config
+    if not os.path.exists(str(embedding_path)):
+        logger.info("sanity check skipped: embedding file missing")
+        return None
+    pos = uio.load_interaction_pairs(cfg.paths.interactions_positive, 1)
+    neg = uio.load_interaction_pairs(
+        cfg.paths.interactions_negative, 0, sample_n=len(pos), random_state=cfg.random_state
+    )
+    pairs = pos + neg
+    if not pairs:
+        logger.info("sanity check skipped: no interaction pairs")
+        return None
+    rng = np.random.default_rng(cfg.random_state)
+    rng.shuffle(pairs)
+    with uio.EmbeddingStore(embedding_path) as store:
+        usable = [p for p in pairs if p[0] in store and p[1] in store]
+        if len(usable) < 10:
+            logger.info("sanity check skipped: only %d usable pairs", len(usable))
+            return None
+        vectors = {pid: store[pid] for p in usable for pid in p[:2]}
+    labels = [p[2] for p in usable]
+    train_pairs, test_pairs = train_test_split(
+        usable, test_size=cfg.gcn.sanity_check_test_split,
+        random_state=cfg.random_state, stratify=labels,
+    )
+    dim = next(iter(vectors.values())).shape[0]
+    trainer = MLPTrainer(
+        MLPConfig(input_dim=dim * 2, dense1_units=64, dropout1_rate=0.5, dense2_units=32,
+                  dropout2_rate=0.5, l2_reg=1e-5, learning_rate=cfg.eval.learning_rate),
+        seed=cfg.random_state,
+    )
+    for _ in range(cfg.gcn.sanity_check_epochs):
+        trainer.fit_epoch(
+            emb_utils.generate_edge_features_batched(
+                train_pairs, vectors, "concatenate", cfg.eval.batch_size, dim
+            )
+        )
+    xs, ys = [], []
+    for bx, by in emb_utils.generate_edge_features_batched(
+        test_pairs, vectors, "concatenate", cfg.eval.batch_size, dim
+    ):
+        xs.append(bx)
+        ys.append(by)
+    if not xs:
+        return None
+    x_test, y_test = np.concatenate(xs), np.concatenate(ys)
+    proba = trainer.predict_proba(x_test)
+    metrics = binary_classification_metrics(y_test, proba)
+    logger.info(
+        "sanity-check PPI: AUC=%.4f F1=%.4f P=%.4f R=%.4f",
+        metrics["auc"], metrics["f1"], metrics["precision"], metrics["recall"],
+    )
+    return metrics

@@ -1,0 +1,73 @@
+"""PPI link-prediction pipeline smoke + metric tests."""
+
+import json
+import os
+
+import numpy as np
+
+from protgram_directgcn_tpu.config import Config
+from protgram_directgcn_tpu.pipeline.ppi import PPIPipeline, create_dummy_data, run_sanity_check_ppi
+from protgram_directgcn_tpu.utils.results import ranking_metrics
+
+
+def test_ranking_metrics_perfect_and_worst():
+    y = np.array([1, 1, 0, 0, 0])
+    perfect = np.array([0.9, 0.8, 0.3, 0.2, 0.1])
+    m = ranking_metrics(y, perfect, [2, 5])
+    assert m["hits_at_2"] == 1.0
+    assert m["ndcg_at_2"] == 1.0
+    worst = np.array([0.1, 0.2, 0.9, 0.8, 0.7])
+    m2 = ranking_metrics(y, worst, [2])
+    assert m2["hits_at_2"] == 0.0
+
+
+def test_ranking_metrics_no_positives():
+    m = ranking_metrics(np.zeros(10), np.random.rand(10), [5])
+    assert m["hits_at_5"] == 0.0 and m["ndcg_at_5"] == 0.0
+
+
+def _dummy_cfg(tmp_path):
+    cfg = Config()
+    cfg.paths.project_root = tmp_path
+    cfg.paths.base_data_dir = tmp_path / "data"
+    cfg.paths.base_output_dir = tmp_path / "out"
+    cfg.eval.n_folds = 2
+    cfg.eval.epochs = 3
+    cfg.eval.batch_size = 64
+    cfg.eval.early_stopping_patience = 2
+    return cfg
+
+
+def test_ppi_pipeline_dummy_run(tmp_path):
+    cfg = _dummy_cfg(tmp_path)
+    results = PPIPipeline(cfg).run(use_dummy_data=True, output_dir=tmp_path / "eval")
+    assert len(results) == 1
+    r = results[0]
+    assert r["embedding_name"] == "DummyEmbeddings"
+    assert 0.0 <= r["test_auc"] <= 1.0
+    assert len(r["fold_auc_scores"]) == 2
+    assert os.path.exists(tmp_path / "eval" / "evaluation_summary.txt")
+    assert os.path.exists(tmp_path / "eval" / "ppi_results.json")
+    assert os.path.exists(tmp_path / "eval" / "plots" / "comparison_roc_curves.png")
+    with open(tmp_path / "eval" / "ppi_results.json") as f:
+        loaded = json.load(f)
+    assert loaded[0]["n_folds"] == 2
+
+
+def test_sanity_check_ppi(tmp_path):
+    cfg = _dummy_cfg(tmp_path)
+    h5, pos, neg = create_dummy_data(tmp_path / "d", num_proteins=40, num_pairs=120, seed=1)
+    cfg.paths.interactions_positive = pos
+    cfg.paths.interactions_negative = neg
+    cfg.gcn.sanity_check_epochs = 2
+    metrics = run_sanity_check_ppi(cfg, h5)
+    assert metrics is not None
+    assert 0.0 <= metrics["auc"] <= 1.0
+
+
+def test_sanity_check_missing_files(tmp_path):
+    cfg = _dummy_cfg(tmp_path)
+    h5, _, _ = create_dummy_data(tmp_path / "d2", seed=2)
+    cfg.paths.interactions_positive = tmp_path / "nope_pos.csv"
+    cfg.paths.interactions_negative = tmp_path / "nope_neg.csv"
+    assert run_sanity_check_ppi(cfg, h5) is None
