@@ -1,0 +1,245 @@
+"""GNN benchmark suite: DirectGCN vs the zoo on node classification.
+
+Re-design of the reference benchmarker
+(reference: src/benchmarks/gnn_benchmarker.py:34-424): per dataset ×
+{original, undirected} variant, train every zoo model plus DirectGCN with
+masked cross-entropy, track the test metric at the best validation epoch,
+save node embeddings (+PCA) and CSV histories/summaries.
+
+Reference quirk preserved deliberately: DirectGCN's forward returns
+log-softmax outputs and the reference applies cross_entropy (a second
+log-softmax) on top (gnn_benchmarker.py:240-253); we replicate that exact
+composition so training dynamics and accuracies are comparable.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from protgram_directgcn_tpu.config import Config
+from protgram_directgcn_tpu.bench.datasets import NodeClassificationDataset, load_dataset
+from protgram_directgcn_tpu.graph.structure import DeviceGraph
+from protgram_directgcn_tpu.graph.transforms import undirected_normalized_matrix, csr_to_coo_arrays
+from protgram_directgcn_tpu.models.directgcn import (
+    DirectGCNConfig,
+    directgcn_apply,
+    init_directgcn_params,
+)
+from protgram_directgcn_tpu.models.zoo import ZOO_MODELS, BaseZooModel
+from protgram_directgcn_tpu.ops.spmm import build_adjacency
+from protgram_directgcn_tpu.utils import embeddings as emb_utils
+from protgram_directgcn_tpu.utils.io import ensure_dir, logger, write_h5_embeddings
+
+
+def seeded_split(n: int, ratios: Dict[str, float], seed: int):
+    """10/10/80 seeded random split (reference: gnn_benchmarker.py:93-106)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    n_train = int(ratios["train"] * n)
+    n_val = int(ratios["val"] * n)
+    train = np.zeros(n, bool)
+    val = np.zeros(n, bool)
+    test = np.zeros(n, bool)
+    train[perm[:n_train]] = True
+    val[perm[n_train : n_train + n_val]] = True
+    test[perm[n_train + n_val :]] = True
+    return train, val, test
+
+
+def _directgcn_device_graph(ds: NodeClassificationDataset, feat_dim: int) -> DeviceGraph:
+    """DirectGCN adapter: ei_out = raw edges (unit weights), ei_in = reversed,
+    undirected-norm edges (reference: gnn_benchmarker.py:296-306)."""
+    n = ds.num_nodes
+    src = ds.edge_index[0].astype(np.int32)
+    tgt = ds.edge_index[1].astype(np.int32)
+    ones = np.ones(len(src), np.float32)
+    p_out = build_adjacency(src, tgt, ones, n, feat_dim=feat_dim)
+    p_in = build_adjacency(tgt, src, ones, n, feat_dim=feat_dim)
+    und = undirected_normalized_matrix(src, tgt, n)
+    us, ut, uw = csr_to_coo_arrays(und)
+    p_und = build_adjacency(us, ut, uw, n, feat_dim=feat_dim)
+    return DeviceGraph(p_in=p_in, p_out=p_out, p_und=p_und, num_nodes=n)
+
+
+class GNNBenchmarker:
+    def __init__(self, config: Optional[Config] = None):
+        self.config = config or Config()
+        self.bench = self.config.benchmark
+
+    # ------------------------------------------------------------------
+
+    def _zoo_configs(self) -> Dict[str, Dict]:
+        """Hyperparameters per model (reference: gnn_benchmarker.py:384-392)."""
+        return {
+            "GCN": dict(cls=ZOO_MODELS["GCN"], params=dict(hidden_dim=256, num_layers=2, dropout_rate=0.5)),
+            "GAT": dict(cls=ZOO_MODELS["GAT"], params=dict(hidden_dim=32, heads=8, num_layers=2, dropout_rate=0.6)),
+            "GraphSAGE": dict(cls=ZOO_MODELS["GraphSAGE"], params=dict(hidden_dim=256, num_layers=2, dropout_rate=0.5)),
+            "GIN": dict(cls=ZOO_MODELS["GIN"], params=dict(hidden_dim=256, num_layers=2, dropout_rate=0.5)),
+            "ChebNet": dict(cls=ZOO_MODELS["ChebNet"], params=dict(hidden_dim=256, K=3, num_layers=2, dropout_rate=0.5)),
+            "RGCN_SR": dict(cls=ZOO_MODELS["RGCN"], params=dict(hidden_dim=256, num_relations=1, num_layers=2, dropout_rate=0.5)),
+            "TongDiGCN": dict(cls=ZOO_MODELS["TongDiGCN"], params=dict(hidden_dim=128, num_layers=2, dropout_rate=0.5)),
+        }
+
+    # ------------------------------------------------------------------
+
+    def train_and_evaluate(self, model_name, apply_fn, params, ds, masks, epochs, lr, wd, seed):
+        """Masked-CE training with best-val test checkpointing
+        (reference: gnn_benchmarker.py:225-286)."""
+        train_mask, val_mask, test_mask = (jnp.asarray(m) for m in masks)
+        x = jnp.asarray(ds.x)
+        y = jnp.asarray(ds.y.astype(np.int32))
+
+        opt = optax.chain(optax.add_decayed_weights(wd), optax.adam(lr))
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, rng):
+            def loss_fn(p):
+                logits, _ = apply_fn(p, x, True, rng)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                per = -jnp.take_along_axis(logp, y[:, None], 1)[:, 0]
+                return jnp.sum(per * train_mask) / jnp.maximum(train_mask.sum(), 1.0)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        @jax.jit
+        def evaluate(params):
+            logits, emb = apply_fn(params, x, False, None)
+            pred = jnp.argmax(logits, axis=-1)
+            correct = (pred == y).astype(jnp.float32)
+            acc_val = jnp.sum(correct * val_mask) / jnp.maximum(val_mask.sum(), 1.0)
+            acc_test = jnp.sum(correct * test_mask) / jnp.maximum(test_mask.sum(), 1.0)
+            return acc_val, acc_test, emb
+
+        rng = jax.random.PRNGKey(seed)
+        best_val, best_test = 0.0, 0.0
+        best_params = params
+        history = []
+        for epoch in range(epochs):
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = step(params, opt_state, sub)
+            acc_val, acc_test, _ = evaluate(params)
+            acc_val = float(acc_val)
+            history.append({"epoch": epoch, "loss": float(loss), "val_accuracy": acc_val})
+            if acc_val >= best_val:
+                best_val = acc_val
+                best_test = float(acc_test)
+                best_params = params
+        return best_val, best_test, history, best_params
+
+    # ------------------------------------------------------------------
+
+    def run_on_dataset_variant(self, ds: NodeClassificationDataset, masks, suffix: str,
+                               results_dir, epochs: int, seed: int) -> List[Dict]:
+        results = []
+        num_classes = ds.num_classes
+        zoo = self._zoo_configs()
+        variant = f"{ds.name}{suffix}"
+
+        model_runs = []
+        for name, spec in zoo.items():
+            model: BaseZooModel = spec["cls"](
+                edge_index=ds.edge_index, num_nodes=ds.num_nodes, in_dim=ds.x.shape[1],
+                out_dim=num_classes, **spec["params"],
+            )
+            model_runs.append((name, model.apply, model.init_params(jax.random.PRNGKey(seed))))
+
+        # DirectGCN adapter (reference: gnn_benchmarker.py:312-335).
+        gcn_cfg = self.config.gcn
+        layer_dims = tuple([ds.x.shape[1]] + gcn_cfg.hidden_layer_dims + [num_classes])
+        d_cfg = DirectGCNConfig(
+            layer_dims=layer_dims, num_nodes=ds.num_nodes, num_classes=num_classes,
+            n_gram_len=0, one_gram_dim=0, max_pe_len=0,
+            dropout=gcn_cfg.dropout_rate, use_vector_coeffs=gcn_cfg.use_vector_coeffs,
+        )
+        dgraph = _directgcn_device_graph(ds, feat_dim=max(layer_dims))
+
+        def directgcn_apply_fn(p, x, train, rng):
+            # Returns log-softmax "logits"; benchmark loss applies CE on top —
+            # the reference's exact double-log-softmax composition.
+            return directgcn_apply(p, dgraph, x, d_cfg, train=train, rng=rng)
+
+        model_runs.append(
+            ("ProtGramDirectGCN", directgcn_apply_fn,
+             init_directgcn_params(jax.random.PRNGKey(seed), d_cfg))
+        )
+
+        for name, apply_fn, params in model_runs:
+            t0 = time.monotonic()
+            try:
+                best_val, best_test, history, best_params = self.train_and_evaluate(
+                    name, apply_fn, params, ds, masks,
+                    epochs=epochs, lr=self.config.eval.learning_rate, wd=5e-4, seed=seed,
+                )
+            except Exception as e:  # parity with reference's per-model try/except
+                logger.exception("model %s failed on %s: %s", name, variant, e)
+                results.append({"dataset": variant, "model": name, "error": str(e)})
+                continue
+            logger.info("[%s] %s: best_val=%.4f test=%.4f (%.1fs)",
+                        variant, name, best_val, best_test, time.monotonic() - t0)
+            results.append({
+                "dataset": variant, "model": name,
+                "best_val_accuracy": best_val, "test_accuracy": best_test,
+            })
+
+            var_dir = ensure_dir(os.path.join(str(results_dir), variant))
+            # History CSV (reference: gnn_benchmarker.py:352-356).
+            import pandas as pd
+
+            pd.DataFrame(history).to_csv(
+                os.path.join(str(var_dir), f"benchmark_{name}_history.csv"), index=False
+            )
+            if self.bench.save_embeddings:
+                _, emb = jax.jit(lambda p: apply_fn(p, jnp.asarray(ds.x), False, None))(best_params)
+                emb = np.asarray(emb)
+                emb_dict = {f"node_{i}": emb[i].astype(np.float16) for i in range(len(emb))}
+                write_h5_embeddings(os.path.join(str(var_dir), f"{name}_node_embeddings.h5"), emb_dict)
+                if self.bench.apply_pca_to_embeddings:
+                    pca = emb_utils.apply_pca(emb_dict, self.bench.pca_target_dim, seed)
+                    if pca:
+                        write_h5_embeddings(
+                            os.path.join(str(var_dir), f"{name}_node_embeddings_pca.h5"), pca
+                        )
+        return results
+
+    # ------------------------------------------------------------------
+
+    def run(self, epochs: Optional[int] = None, datasets: Optional[List[str]] = None) -> List[Dict]:
+        import pandas as pd
+
+        cfg = self.config
+        seed = cfg.random_state
+        results_dir = ensure_dir(cfg.paths.benchmarking_results_dir)
+        epochs = epochs if epochs is not None else self.bench.epochs
+        dataset_names = datasets if datasets is not None else self.bench.node_classification_datasets
+
+        all_results: List[Dict] = []
+        for name in dataset_names:
+            ds = load_dataset(name, self.bench.dataset_root, seed)
+            if ds.train_mask is not None:
+                masks = (ds.train_mask, ds.val_mask, ds.test_mask)
+            else:
+                masks = seeded_split(ds.num_nodes, self.bench.split_ratios, seed)
+            all_results += self.run_on_dataset_variant(ds, masks, "_Original", results_dir, epochs, seed)
+            if self.bench.test_on_undirected:
+                all_results += self.run_on_dataset_variant(
+                    ds.undirected(), masks, "_Undirected", results_dir, epochs, seed
+                )
+            per_ds = [r for r in all_results if r["dataset"].startswith(name)]
+            pd.DataFrame(per_ds).to_csv(
+                os.path.join(str(results_dir), f"benchmark_summary_{name}.csv"), index=False
+            )
+        if all_results:
+            pd.DataFrame(all_results).to_csv(
+                os.path.join(str(results_dir), "gnn_benchmark_FULL_SUMMARY.csv"), index=False
+            )
+        return all_results

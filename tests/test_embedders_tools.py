@@ -1,0 +1,137 @@
+"""Word2Vec embedder, transformer gating, CLI, and standalone tools tests."""
+
+import os
+import subprocess
+import sys
+
+import h5py
+import numpy as np
+import pytest
+
+from protgram_directgcn_tpu.config import Config
+from protgram_directgcn_tpu.pipeline.word2vec import SkipGramModel, Word2VecEmbedder
+
+
+def _cfg(tmp_path):
+    cfg = Config()
+    cfg.paths.base_data_dir = tmp_path / "data"
+    cfg.paths.base_output_dir = tmp_path / "out"
+    cfg.word2vec.vector_size = 16
+    cfg.word2vec.epochs = 2
+    cfg.word2vec.batch_size = 256
+    cfg.gcn.pca_target_dim = 4
+    cfg.id_mapping_mode = "none"
+    return cfg
+
+
+def test_word2vec_end_to_end(toy_fasta, tmp_path):
+    cfg = _cfg(tmp_path)
+    h5_path = Word2VecEmbedder(cfg).run(fasta_path=toy_fasta, output_dir=tmp_path / "w2v")
+    assert h5_path and os.path.exists(h5_path)
+    with h5py.File(h5_path, "r") as hf:
+        keys = sorted(hf.keys())
+        assert keys == ["P001", "P002", "P003"]
+        assert hf["P001"][:].shape == (16,)
+    assert os.path.exists(tmp_path / "w2v" / "word2vec_model_dim16.npz")
+
+
+def test_skipgram_similar_contexts_cluster():
+    """Tokens appearing in identical contexts should embed closer than
+    tokens with disjoint contexts."""
+    rng = np.random.default_rng(0)
+    # A,B interchangeable around C; D,E interchangeable around F.
+    seqs = []
+    for _ in range(300):
+        seqs.append("CAC" if rng.random() < 0.5 else "CBC")
+        seqs.append("FDF" if rng.random() < 0.5 else "FEF")
+    vocab = sorted(set("".join(seqs)))
+    model = SkipGramModel(vocab, dim=8, seed=0)
+    tok = model.token_to_id
+    ids = [np.array([tok[c] for c in s], np.int32) for s in seqs]
+    from collections import Counter
+
+    counter = Counter("".join(seqs))
+    counts = np.array([counter[t] for t in vocab])
+    model.train(ids, window=1, negative=3, epochs=8, batch_size=256, counts=counts, seed=0)
+    v = model.vectors()
+
+    def cos(a, b):
+        return float(np.dot(v[tok[a]], v[tok[b]]) / (np.linalg.norm(v[tok[a]]) * np.linalg.norm(v[tok[b]]) + 1e-9))
+
+    assert cos("A", "B") > cos("A", "D")
+
+
+def test_skipgram_save_load(tmp_path):
+    model = SkipGramModel(["A", "B", "C"], dim=4, seed=1)
+    path = tmp_path / "m.npz"
+    model.save(path)
+    loaded = SkipGramModel.load(path)
+    np.testing.assert_allclose(loaded.vectors(), model.vectors())
+
+
+def test_transformer_gated_without_local_model(toy_fasta, tmp_path):
+    from protgram_directgcn_tpu.pipeline.transformer import TransformerEmbedder
+
+    cfg = _cfg(tmp_path)
+    cfg.transformer.models_to_run = [
+        {"name": "Missing", "hf_id": "definitely/not-cached-model", "is_t5": False}
+    ]
+    out = TransformerEmbedder(cfg).run(fasta_path=toy_fasta, output_dir=tmp_path / "tf")
+    assert out == []  # skipped gracefully
+
+
+def test_extract_residue_embeddings_semantics():
+    from protgram_directgcn_tpu.pipeline.transformer import extract_residue_embeddings
+
+    raw = np.arange(20, dtype=np.float32).reshape(5, 4)
+    bert = extract_residue_embeddings(raw, 3, is_t5=False)
+    np.testing.assert_array_equal(bert, raw[1:4])  # drop CLS, take seq_len
+    t5 = extract_residue_embeddings(raw, 3, is_t5=True)
+    np.testing.assert_array_equal(t5, raw[:3])
+    assert extract_residue_embeddings(raw, 0, is_t5=False).shape[0] == 0
+
+
+def test_reduce_dim_tool(tmp_path):
+    sys.path.insert(0, "/root/repo/tools")
+    import reduce_dim
+
+    src = tmp_path / "in.h5"
+    with h5py.File(src, "w") as hf:
+        rng = np.random.default_rng(0)
+        for i in range(20):
+            v = rng.normal(size=32).astype(np.float32)
+            if i == 3:
+                v[5] = np.nan  # exercise imputation
+            hf.create_dataset(f"P{i}", data=v)
+    dst = tmp_path / "out.h5"
+    assert reduce_dim.process_with_global_pca(str(src), str(dst), target_dim=8) == 0
+    with h5py.File(dst, "r") as hf:
+        assert len(hf.keys()) == 20
+        assert hf["P0"][:].shape == (8,)
+        assert np.isfinite(hf["P3"][:]).all()
+
+
+def test_tsne_tool(tmp_path):
+    sys.path.insert(0, "/root/repo/tools")
+    import visualize_embeddings
+
+    src = tmp_path / "e.h5"
+    with h5py.File(src, "w") as hf:
+        rng = np.random.default_rng(0)
+        for i in range(30):
+            hf.create_dataset(f"P{i}", data=rng.normal(size=8).astype(np.float32))
+    out = tmp_path / "plot.png"
+    assert visualize_embeddings.generate_tsne_figure([str(src)], str(out), max_points=25) == 0
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_main_cli_graph_stage(toy_fasta, tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    result = subprocess.run(
+        [sys.executable, "/root/repo/main.py", "--fasta", str(toy_fasta),
+         "--out", str(tmp_path / "o"), "--stages", "graph", "--platform", "cpu",
+         "--set", "graph_builder.ngram_max_n=2"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert (tmp_path / "o" / "1_graph_objects" / "ngram_graph_n2.npz").exists()
