@@ -98,6 +98,8 @@ class GraphBuilderConfig:
     add_boundary_spaces: bool = True
     # Chunk size (#sequences) for the streaming ETL shards.
     sequences_per_shard: int = 50_000
+    # Use the native C++ ETL kernels when buildable (numpy fallback otherwise).
+    use_native: bool = True
 
 
 @dataclass

@@ -75,7 +75,7 @@ class NgramGraphBuilder:
 
     def __init__(self, config: Optional[Config] = None, n_max: Optional[int] = None,
                  epsilon: Optional[float] = None, add_boundary_spaces: Optional[bool] = None,
-                 shard_size: Optional[int] = None):
+                 shard_size: Optional[int] = None, use_native: Optional[bool] = None):
         cfg = config or Config()
         gb = cfg.graph_builder
         self.config = cfg
@@ -85,6 +85,7 @@ class NgramGraphBuilder:
             add_boundary_spaces if add_boundary_spaces is not None else gb.add_boundary_spaces
         )
         self.shard_size = shard_size if shard_size is not None else gb.sequences_per_shard
+        self.use_native = use_native if use_native is not None else getattr(gb, "use_native", True)
         if self.n_max > _MAX_PACK_N:
             raise ValueError(f"n_max {self.n_max} > {_MAX_PACK_N} not supported by uint64 packing")
 
@@ -108,17 +109,28 @@ class NgramGraphBuilder:
         # Shard-wise streaming over sequences keeps peak memory bounded for
         # Swiss-Prot-scale inputs (the reference used Dask partitions for the
         # same reason, data_builder.py:85-134).
+        use_native = False
+        if self.use_native:
+            from protgram_directgcn_tpu import native
+
+            use_native = native.available()
+
         vocab_keys = np.empty(0, dtype=np.uint64)
         per_shard_keys: List[np.ndarray] = []
         per_shard_lens: List[np.ndarray] = []
         for shard_start in range(0, len(seq_bytes), self.shard_size):
             shard = seq_bytes[shard_start : shard_start + self.shard_size]
-            keys_list = [_pack_ngrams(b, n) for b in shard]
-            lens = np.array([len(k) for k in keys_list], dtype=np.int64)
-            keys = np.concatenate(keys_list) if keys_list else np.empty(0, np.uint64)
+            if use_native:
+                keys, lens = native.pack_ngrams_batch(shard, n)
+                shard_unique, _ = native.aggregate_u64(keys)
+            else:
+                keys_list = [_pack_ngrams(b, n) for b in shard]
+                lens = np.array([len(k) for k in keys_list], dtype=np.int64)
+                keys = np.concatenate(keys_list) if keys_list else np.empty(0, np.uint64)
+                shard_unique = np.unique(keys)
             per_shard_keys.append(keys)
             per_shard_lens.append(lens)
-            vocab_keys = np.union1d(vocab_keys, np.unique(keys))
+            vocab_keys = np.union1d(vocab_keys, shard_unique)
 
         num_nodes = len(vocab_keys)
         vocab = _unpack_keys(vocab_keys, n)
@@ -129,6 +141,14 @@ class NgramGraphBuilder:
         nn = np.uint64(max(num_nodes, 1))
         for keys, lens in zip(per_shard_keys, per_shard_lens):
             if len(keys) == 0:
+                continue
+            if use_native:
+                ids = native.lookup_sorted(vocab_keys, keys)
+                pair_keys = native.emit_pairs(ids, lens, int(nn))
+                if len(pair_keys) == 0:
+                    continue
+                uk, counts = native.aggregate_u64(pair_keys)
+                agg_keys, agg_counts = native.merge_aggregates(agg_keys, agg_counts, uk, counts)
                 continue
             ids = np.searchsorted(vocab_keys, keys).astype(np.uint64)
             # Pair positions: exclude the last window of each sequence.
