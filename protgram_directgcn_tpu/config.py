@@ -139,6 +139,8 @@ class GCNConfig:
     run_sanity_check_ppi: bool = True
     sanity_check_epochs: int = 10
     sanity_check_test_split: float = 0.2
+    # In-training orbax checkpoint cadence (epochs); 0 disables.
+    checkpoint_every_epochs: int = 100
     # TPU-specific: compute dtype for matmuls/propagation ("bfloat16"|"float32").
     compute_dtype: str = "float32"
     # Sparse format selection: "auto" picks dense vs ELL by a roofline byte

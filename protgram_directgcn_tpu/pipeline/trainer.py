@@ -248,7 +248,8 @@ class HierarchicalTrainer:
     # ------------------------------------------------------------------
 
     def train_level(
-        self, graph: NgramGraph, x_np: np.ndarray, y_np: np.ndarray, num_classes: int
+        self, graph: NgramGraph, x_np: np.ndarray, y_np: np.ndarray, num_classes: int,
+        ckpt_dir: Optional[os.PathLike] = None, metrics=None,
     ) -> Tuple[dict, np.ndarray, DirectGCNConfig, DeviceGraph]:
         """Train one n-gram level; returns (params, node embeddings)."""
         gcn = self.gcn
@@ -314,19 +315,40 @@ class HierarchicalTrainer:
             x = jnp.asarray(x_np)
             y = jnp.asarray(y_np.astype(np.int32))
             mask = jnp.ones(graph.num_nodes, dtype=jnp.float32)
+            start_epoch = 1
+            if ckpt_dir is not None and gcn.checkpoint_every_epochs > 0:
+                from protgram_directgcn_tpu.utils import checkpoint as ckpt
+
+                restored = ckpt.restore_train_state(ckpt_dir, params, opt_state)
+                if restored is not None:
+                    start_epoch, params, opt_state = restored[0] + 1, restored[1], restored[2]
             epochs_run = 0
-            for epoch in range(1, gcn.epochs_per_level + 1):
+            loss_val = float("nan")
+            for epoch in range(start_epoch, gcn.epochs_per_level + 1):
                 rng, sub = jax.random.split(rng)
                 params, opt_state, loss, primary = step(
                     params, opt_state, full_graph, x, y, mask, jnp.float32(1.0), sub, None
                 )
                 loss_val = float(loss)
                 epochs_run = epoch
+                if metrics is not None:
+                    metrics.log_metrics(
+                        {"level": n_val, "loss": loss_val, "lr": sched.lr if sched else gcn.lr},
+                        step=epoch,
+                    )
                 if sched is not None:
                     opt_state.hyperparams["learning_rate"] = jnp.asarray(sched.step(loss_val))
                 if stopper is not None and stopper.should_stop(loss_val):
                     logger.info("early stop at epoch %d (best %.5f)", epoch, stopper.best_loss)
                     break
+                if (
+                    ckpt_dir is not None
+                    and gcn.checkpoint_every_epochs > 0
+                    and epoch % gcn.checkpoint_every_epochs == 0
+                ):
+                    from protgram_directgcn_tpu.utils import checkpoint as ckpt
+
+                    ckpt.save_train_state(ckpt_dir, epoch, params, opt_state)
             logger.info("full-batch training: %d epochs in %.1fs (final loss %.5f)",
                         epochs_run, time.monotonic() - t0, loss_val)
 
@@ -385,7 +407,15 @@ class HierarchicalTrainer:
                 continue
             x = self._initial_features(graph, prev_vocab, prev_embeds, cfg.random_state + n_val)
             y, num_classes = generate_labels(graph, task, self.gcn.closest_aa_k_hops, cfg.random_state)
-            _, embeds, _, _ = self.train_level(graph, x, y, num_classes)
+            from protgram_directgcn_tpu.utils.metrics import MetricLogger
+
+            with MetricLogger(os.path.join(str(ckpt_dir), f"run_n{n_val}"), f"gcn_n{n_val}") as metrics:
+                metrics.log_params({"level": n_val, "task": task, "num_nodes": graph.num_nodes,
+                                    "num_edges": graph.num_edges, "num_classes": num_classes})
+                _, embeds, _, _ = self.train_level(
+                    graph, x, y, num_classes,
+                    ckpt_dir=os.path.join(str(ckpt_dir), f"orbax_n{n_val}"), metrics=metrics,
+                )
             level_embeds[n_val] = embeds
             np.savez_compressed(ckpt_path, embeddings=embeds)
 

@@ -25,6 +25,9 @@ if not logger.handlers:
     _h.setFormatter(logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s"))
     logger.addHandler(_h)
     logger.setLevel(logging.INFO)
+    # Third-party imports (orbax/absl) may attach root handlers; avoid
+    # duplicate emission of our records through the root logger.
+    logger.propagate = False
 
 
 # ----------------------------------------------------------------------------

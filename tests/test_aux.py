@@ -1,0 +1,88 @@
+"""Aux subsystems: metrics stream, profiling helpers, orbax checkpointing."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from protgram_directgcn_tpu.utils.checkpoint import (
+    latest_step,
+    restore_train_state,
+    save_train_state,
+)
+from protgram_directgcn_tpu.utils.metrics import MetricLogger, read_metrics
+from protgram_directgcn_tpu.utils.profiling import (
+    StepTimer,
+    detect_bandwidth,
+    spmm_roofline_edges_per_s,
+    trace,
+)
+
+
+def test_metric_logger_roundtrip(tmp_path):
+    with MetricLogger(tmp_path / "run", "test") as m:
+        m.log_params({"lr": 0.1, "dims": [1, 2]})
+        m.log_metrics({"loss": 1.5}, step=1)
+        m.log_metrics({"loss": jnp.float32(0.5)}, step=2)
+        m.log_artifact("model", tmp_path / "x.h5")
+    records = read_metrics(tmp_path / "run")
+    assert len(records) == 2
+    assert records[1]["loss"] == 0.5
+    assert records[1]["step"] == 2
+    import json
+
+    with open(tmp_path / "run" / "params.json") as f:
+        assert json.load(f)["lr"] == 0.1
+
+
+def test_step_timer_and_trace():
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        with t:
+            with trace("unit"):
+                pass
+    assert len(t.times) == 4
+    assert t.mean() >= 0 and t.best() >= 0
+
+
+def test_roofline_helper():
+    assert spmm_roofline_edges_per_s(128, 819e9) == 819e9 / 512
+    assert detect_bandwidth() > 0
+
+
+def test_checkpoint_save_restore(tmp_path):
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros(4)}
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    ck = tmp_path / "ck"
+    save_train_state(ck, 10, params, opt_state)
+    params2 = {"w": jnp.full((4, 4), 7.0), "b": jnp.ones(4)}
+    save_train_state(ck, 20, params2, opt_state)
+    assert latest_step(ck) == 20
+    restored = restore_train_state(ck, params, opt_state)
+    assert restored is not None
+    step, rp, ro = restored
+    assert step == 20
+    np.testing.assert_allclose(np.asarray(rp["w"]), 7.0)
+    assert restore_train_state(tmp_path / "nothing", params, opt_state) is None
+
+
+def test_trainer_orbax_resume(toy_fasta, tmp_path):
+    """Mid-level checkpoints are written and restored."""
+    from tests.test_trainer import small_config
+    from protgram_directgcn_tpu.graph.builder import NgramGraphBuilder
+    from protgram_directgcn_tpu.pipeline.trainer import HierarchicalTrainer
+
+    graphs = tmp_path / "g"
+    NgramGraphBuilder(n_max=1).run(fasta_path=toy_fasta, output_dir=graphs)
+    cfg = small_config(tmp_path, epochs_per_level=6, checkpoint_every_epochs=2,
+                       use_early_stopping=False, use_lr_scheduler=False)
+    cfg.graph_builder.ngram_max_n = 1
+    out = tmp_path / "emb"
+    HierarchicalTrainer(cfg).run(fasta_path=toy_fasta, graphs_dir=graphs, output_dir=out)
+    orbax_dir = out / "level_checkpoints" / "orbax_n1"
+    assert latest_step(orbax_dir) is not None
+    metrics = read_metrics(out / "level_checkpoints" / "run_n1")
+    assert len(metrics) == 6  # one record per epoch
