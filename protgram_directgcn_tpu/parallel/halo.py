@@ -1,0 +1,184 @@
+"""Edge-partitioned propagation with explicit halo exchange (shard_map).
+
+The BASELINE north-star distributed design: nodes are block-partitioned
+across the "nodes" mesh axis (contiguous sorted-vocab ranges → cheap
+ownership tests and prefix locality), and each propagation splits into
+
+- a **local** part: edges whose source is owned by the same device,
+- a **halo** part: edges whose source lives on a peer device.
+
+Boundary source features are exchanged with a single padded
+``jax.lax.all_to_all`` (ragged sets padded to the max per-peer count), and
+the local aggregation is issued *before* the halo aggregation consumes the
+exchanged buffer, so XLA's latency-hiding scheduler overlaps the collective
+with local compute.
+
+Host-side, `build_halo_partition` precomputes per-device padded arrays:
+local/halo ELL tables (halo indices pre-remapped into the receive-buffer
+coordinate space) and per-peer send index lists.  This mirrors how the
+reference keeps per-node state indexable under partitioning via
+``original_indices`` (reference: protgram_directgcn_trainer.py:179-197) —
+ownership is by contiguous range, so original ids are recovered by adding
+the range offset.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@struct.dataclass
+class HaloPartition:
+    """Per-device padded arrays, stacked on axis 0 (= device)."""
+
+    # Local edges: sources are local row indices.
+    local_idx: jnp.ndarray  # [D, Nd, Kl] int32
+    local_w: jnp.ndarray  # [D, Nd, Kl] f32
+    # Halo edges: sources index the flattened receive buffer [D*S, ...].
+    halo_idx: jnp.ndarray  # [D, Nd, Kh] int32
+    halo_w: jnp.ndarray  # [D, Nd, Kh] f32
+    # For each peer, local row indices to send (padded with 0).
+    send_idx: jnp.ndarray  # [D, D, S] int32
+    num_nodes: int = struct.field(pytree_node=False, default=0)
+    rows_per_shard: int = struct.field(pytree_node=False, default=0)
+
+
+def build_halo_partition(
+    src: np.ndarray, tgt: np.ndarray, w: np.ndarray, num_nodes: int, num_shards: int
+) -> HaloPartition:
+    """Precompute the partitioned halo-exchange layout (host side)."""
+    nd = -(-num_nodes // num_shards)  # padded rows per shard
+    src = np.asarray(src, np.int64)
+    tgt = np.asarray(tgt, np.int64)
+    w = np.asarray(w, np.float32)
+    owner_t = np.minimum(tgt // nd, num_shards - 1)
+    owner_s = np.minimum(src // nd, num_shards - 1)
+
+    local_rows, local_srcs, local_ws = [], [], []
+    halo_rows, halo_peers, halo_gsrcs, halo_ws = [], [], [], []
+
+    # Per-device recv sets: unique remote sources needed from each peer.
+    recv_sets = [[np.empty(0, np.int64)] * num_shards for _ in range(num_shards)]
+    for d in range(num_shards):
+        mask_d = owner_t == d
+        is_local = owner_s[mask_d] == d
+        local_rows.append(tgt[mask_d][is_local] - d * nd)
+        local_srcs.append(src[mask_d][is_local] - d * nd)
+        local_ws.append(w[mask_d][is_local])
+        halo_rows.append(tgt[mask_d][~is_local] - d * nd)
+        halo_peers.append(owner_s[mask_d][~is_local])
+        halo_gsrcs.append(src[mask_d][~is_local])
+        halo_ws.append(w[mask_d][~is_local])
+        for p in range(num_shards):
+            sel = halo_peers[d] == p
+            recv_sets[d][p] = np.unique(halo_gsrcs[d][sel])
+
+    s_max = max(1, max(len(recv_sets[d][p]) for d in range(num_shards) for p in range(num_shards)))
+
+    # send_idx[d, p]: rows (local to d) that peer p needs from d.
+    send_idx = np.zeros((num_shards, num_shards, s_max), np.int32)
+    for d in range(num_shards):
+        for p in range(num_shards):
+            need = recv_sets[p][d]  # global ids owned by d, needed by p
+            send_idx[d, p, : len(need)] = (need - d * nd).astype(np.int32)
+
+    # Remap halo sources into receive-buffer coordinates: after all_to_all,
+    # device d's receive buffer is [num_shards, s_max] rows where chunk p
+    # holds recv_sets[d][p] in order.
+    def ell_pack(rows, cols, ws, n_rows, pad=4):
+        from protgram_directgcn_tpu.ops.spmm import _ell_one_sided
+
+        return _ell_one_sided(cols, rows, ws, n_rows, pad_multiple=pad)
+
+    l_idx, l_w, h_idx, h_w = [], [], [], []
+    for d in range(num_shards):
+        li, lw = ell_pack(local_rows[d], local_srcs[d], local_ws[d], nd)
+        buf_coords = np.zeros(len(halo_gsrcs[d]), np.int64)
+        for p in range(num_shards):
+            sel = halo_peers[d] == p
+            if sel.any():
+                pos = np.searchsorted(recv_sets[d][p], halo_gsrcs[d][sel])
+                buf_coords[sel] = p * s_max + pos
+        hi, hw = ell_pack(halo_rows[d], buf_coords, halo_ws[d], nd)
+        l_idx.append(li)
+        l_w.append(lw)
+        h_idx.append(hi)
+        h_w.append(hw)
+
+    def stack_pad(mats):
+        k = max(m.shape[1] for m in mats)
+        return np.stack([np.pad(m, ((0, 0), (0, k - m.shape[1]))) for m in mats])
+
+    return HaloPartition(
+        local_idx=jnp.asarray(stack_pad(l_idx).astype(np.int32)),
+        local_w=jnp.asarray(stack_pad(l_w).astype(np.float32)),
+        halo_idx=jnp.asarray(stack_pad(h_idx).astype(np.int32)),
+        halo_w=jnp.asarray(stack_pad(h_w).astype(np.float32)),
+        send_idx=jnp.asarray(send_idx),
+        num_nodes=int(num_nodes),
+        rows_per_shard=int(nd),
+    )
+
+
+def _ell_block(idx, w, table):
+    """out[i] = sum_k w[i,k] * table[idx[i,k]] (small static K loop)."""
+    acc = jnp.zeros((idx.shape[0], table.shape[1]), dtype=table.dtype)
+    k = idx.shape[1]
+    chunk = 8
+    for start in range(0, k, chunk):
+        ic = idx[:, start : start + chunk]
+        wc = w[:, start : start + chunk]
+        acc = acc + jnp.einsum("nc,ncf->nf", wc, jnp.take(table, ic, axis=0))
+    return acc
+
+
+def halo_propagate(part: HaloPartition, x: jnp.ndarray, mesh: Mesh, axis: str = "nodes") -> jnp.ndarray:
+    """Distributed propagation: all-to-all halo exchange overlapped with
+    local aggregation.  x: [num_shards*rows_per_shard, F] sharded on axis."""
+    d = mesh.shape[axis]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None, None), P(axis, None, None),  # local idx/w
+            P(axis, None, None), P(axis, None, None),  # halo idx/w
+            P(axis, None, None),  # send_idx
+            P(axis, None),  # x
+        ),
+        out_specs=P(axis, None),
+    )
+    def _run(l_idx, l_w, h_idx, h_w, send_idx, x_local):
+        l_idx, l_w = l_idx[0], l_w[0]
+        h_idx, h_w = h_idx[0], h_w[0]
+        send_idx = send_idx[0]  # [D, S]
+        # 1. Launch the halo exchange: gather per-peer send rows, all-to-all.
+        send_buf = jnp.take(x_local, send_idx.reshape(-1), axis=0)
+        send_buf = send_buf.reshape(d, send_idx.shape[1], x_local.shape[1])
+        recv = jax.lax.all_to_all(send_buf, axis, split_axis=0, concat_axis=0, tiled=False)
+        # all_to_all with split/concat 0 on [D, S, F]: chunk p of the result
+        # holds what peer p sent us.
+        recv_flat = recv.reshape(d * send_idx.shape[1], x_local.shape[1])
+        # 2. Local aggregation (no dependence on recv → overlaps the collective).
+        out = _ell_block(l_idx, l_w, x_local)
+        # 3. Halo aggregation from the receive buffer.
+        out = out + _ell_block(h_idx, h_w, recv_flat)
+        return out
+
+    return _run(part.local_idx, part.local_w, part.halo_idx, part.halo_w, part.send_idx, x)
+
+
+def pad_node_features(x: np.ndarray, part: HaloPartition) -> np.ndarray:
+    """Pad [N, F] features to num_shards*rows_per_shard rows."""
+    total = part.send_idx.shape[0] * part.rows_per_shard
+    if x.shape[0] < total:
+        x = np.pad(x, ((0, total - x.shape[0]), (0, 0)))
+    return x
