@@ -375,6 +375,13 @@ class HierarchicalTrainer:
         if cfg.id_mapping_mode == "regex":
             self.id_map = generate_regex_id_map(fasta_path, cfg.paths.id_mapping_output_file)
             logger.info("loaded %d ID mappings", len(self.id_map))
+        elif cfg.id_mapping_mode == "api":
+            from protgram_directgcn_tpu.utils.io import generate_api_id_map
+
+            self.id_map = generate_api_id_map(
+                fasta_path, output_file=cfg.paths.id_mapping_output_file
+            )
+            logger.info("loaded %d ID mappings via UniProt API", len(self.id_map))
 
         level_embeds: Dict[int, np.ndarray] = {}
         level_vocab: Dict[int, np.ndarray] = {}

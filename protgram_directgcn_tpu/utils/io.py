@@ -191,6 +191,75 @@ def extract_canonical_id(header: str) -> Optional[str]:
     return first or None
 
 
+def generate_api_id_map(
+    fasta_path: Union[str, os.PathLike],
+    from_db: str = "UniRef50",
+    to_db: str = "UniProtKB",
+    batch_size: int = 500,
+    poll_interval: float = 2.0,
+    timeout: float = 300.0,
+    output_file: Optional[Union[str, os.PathLike]] = None,
+) -> Dict[str, str]:
+    """UniProt REST ID-mapping (submit job, poll, fetch results) in batches
+    (reference: data_utils.py:250-320).  Requires network access; on any
+    failure a batch is skipped and mapping degrades gracefully (the
+    reference's behavior, data_utils.py:314-319)."""
+    import json
+    import time as _time
+    import urllib.parse
+    import urllib.request
+
+    candidate_ids: List[str] = []
+    seen = set()
+    with open(fasta_path, "r", encoding="utf-8", errors="ignore") as f:
+        for line in f:
+            if not line.startswith(">"):
+                continue
+            header = line[1:].strip()
+            bar = header.split("|")
+            cid = bar[1] if len(bar) > 1 and bar[1] else header.split()[0]
+            if cid not in seen:
+                seen.add(cid)
+                candidate_ids.append(cid)
+
+    id_map: Dict[str, str] = {}
+    base = "https://rest.uniprot.org/idmapping"
+    for start in range(0, len(candidate_ids), batch_size):
+        batch = candidate_ids[start : start + batch_size]
+        try:
+            payload = urllib.parse.urlencode(
+                {"ids": ",".join(batch), "from": from_db, "to": to_db}
+            ).encode()
+            with urllib.request.urlopen(f"{base}/run", data=payload, timeout=30) as resp:
+                job_id = json.load(resp).get("jobId")
+            if not job_id:
+                raise RuntimeError("no jobId returned")
+            deadline = _time.time() + timeout
+            while _time.time() < deadline:
+                with urllib.request.urlopen(f"{base}/status/{job_id}", timeout=30) as resp:
+                    status = json.load(resp)
+                if status.get("jobStatus") in (None, "FINISHED") or "results" in status:
+                    break
+                _time.sleep(poll_interval)
+            with urllib.request.urlopen(f"{base}/results/{job_id}?size=500", timeout=30) as resp:
+                results = json.load(resp).get("results", [])
+            for entry in results:
+                frm, to = entry.get("from"), entry.get("to")
+                if isinstance(to, dict):
+                    to = to.get("primaryAccession") or to.get("id")
+                if frm and to:
+                    id_map[frm] = to
+        except Exception as e:
+            logger.warning("UniProt API mapping batch %d failed (%s); skipping", start // batch_size, e)
+            continue
+    if output_file and id_map:
+        os.makedirs(os.path.dirname(str(output_file)) or ".", exist_ok=True)
+        with open(output_file, "w", encoding="utf-8") as f:
+            for orig, mapped in id_map.items():
+                f.write(f"{orig}\t{mapped}\n")
+    return id_map
+
+
 def generate_regex_id_map(fasta_path: Union[str, os.PathLike], output_file: Optional[Union[str, os.PathLike]] = None) -> Dict[str, str]:
     """FASTA-id → canonical-accession map via header regexes
     (reference: data_utils.py:333-391).  Writes a TSV if output_file given."""
