@@ -1,17 +1,30 @@
-"""Headline benchmark: SpMM fwd+bwd edges/s/chip on a 5-gram-scale graph.
+"""Headline benchmark: SpMM fwd+bwd edges/s/chip on a 5-gram protein graph.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-value        = edges processed per second (forward + backward counted as two
-               passes over nnz) for the DirectGCN propagation operator.
-vs_baseline  = achieved edges/s divided by the single-chip HBM roofline
-               (each edge slot must move one F-wide f32 feature row:
-               roofline = BW / (4*F) edges/s; target >= 0.8).
+- Graph: a real 5-gram DirectGCN propagation matrix (𝒜_out) built by the
+  framework's own ETL from synthetic protein-like sequences (motif reuse for
+  realistic n-gram statistics); cached to disk after the first run.
+- value: edges/s for one propagation forward + backward (2 passes over nnz)
+  on the best available format.
+- vs_baseline: fraction of the single-chip HBM streaming roofline
+  (BW / 4F bytes per edge slot per pass).  Note the *random-gather* hardware
+  bound is ~4-6x below streaming on this part — see ops/spmm.py notes.
+
+Measurement methodology (validated against MXU peak on this host):
+- the iteration loop lives INSIDE one jit (lax.scan) — per-dispatch RPC
+  overhead on tunneled devices otherwise dominates;
+- all arrays are jit ARGUMENTS (closed-over constants are shipped with the
+  remote compile request and explode compile time);
+- the chain is carry-dependent so XLA cannot hoist the propagation out of
+  the loop;
+- timing is the slope between two scan lengths with a forced host fetch.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -20,6 +33,51 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_graph_5gram.npz")
+
+
+def build_or_load_graph(num_seqs: int, seed: int = 0):
+    """Realistic 5-gram propagation matrix (cached)."""
+    if os.path.exists(_CACHE):
+        with np.load(_CACHE) as z:
+            return z["src"], z["tgt"], z["val"], int(z["n"])
+    from protgram_directgcn_tpu.graph.builder import NgramGraphBuilder
+    from protgram_directgcn_tpu.graph.transforms import csr_to_coo_arrays
+
+    rng = np.random.default_rng(seed)
+    aa = list("ACDEFGHIKLMNPQRSTVWY")
+    motifs = ["".join(rng.choice(aa, 8)) for _ in range(500)]
+
+    def make_seq():
+        parts, length = [], 0
+        while length < 300:
+            m = motifs[rng.integers(0, len(motifs))] if rng.random() < 0.5 else "".join(
+                rng.choice(aa, 8)
+            )
+            parts.append(m)
+            length += len(m)
+        return "".join(parts)
+
+    seqs = [(f"P{i}", make_seq()) for i in range(num_seqs)]
+    builder = NgramGraphBuilder(n_max=5)
+    graphs = builder.build_from_sequences(seqs)
+    g5 = graphs[4]
+    src, tgt, val = csr_to_coo_arrays(g5.mathcal_a_out())
+    np.savez_compressed(_CACHE, src=src, tgt=tgt, val=val, n=np.int64(g5.num_nodes))
+    return src, tgt, val, g5.num_nodes
+
+
+def slope_time(fn, args, lens=(2, 10)):
+    """Per-iteration seconds via scan-length slope with forced host fetch."""
+    res = {}
+    for length in lens:
+        f = fn(length)
+        _ = np.asarray(f(*args))[:1, :1]  # compile + warm
+        t0 = time.perf_counter()
+        _ = np.asarray(f(*args))[:1, :1]
+        res[length] = time.perf_counter() - t0
+    return (res[lens[1]] - res[lens[0]]) / (lens[1] - lens[0])
 
 
 def main():
@@ -34,52 +92,46 @@ def main():
 
     from protgram_directgcn_tpu.ops import spmm
 
-    platform = jax.devices()[0].platform
-    on_tpu = platform in ("tpu", "axon") or "TPU" in str(jax.devices()[0])
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+    feat_dim = 128
+    num_seqs = 30_000 if on_tpu else 500
 
-    # 5-gram-scale synthetic transition graph: bounded out-degree (n-gram
-    # successor structure), ~500k nodes (Swiss-Prot-subset 5-gram vocab scale).
-    if on_tpu:
-        n, deg, f, iters = 500_000, 20, 128, 20
-    else:  # CPU smoke fallback
-        n, deg, f, iters = 20_000, 10, 64, 3
+    src, tgt, val, n = build_or_load_graph(num_seqs)
+    nnz = len(src)
+    # Scale weights to keep the chained iteration numerically bounded.
+    val = (val / max(1e-9, float(np.abs(val).max()))).astype(np.float32)
 
-    rng = np.random.default_rng(0)
-    src = np.repeat(np.arange(n, dtype=np.int64), deg)
-    tgt = rng.integers(0, n, n * deg)
-    pairs, counts = np.unique(np.stack([src, tgt], 1), axis=0, return_counts=True)
-    s = pairs[:, 0].astype(np.int32)
-    t = pairs[:, 1].astype(np.int32)
-    w = counts.astype(np.float32)
-    nnz = len(s)
+    adj = spmm.build_adjacency(src, tgt, val, n, mode="bucketed", feat_dim=feat_dim)
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, feat_dim), dtype=jnp.float32)
 
-    adj = spmm.build_adjacency(s, t, w, n, mode="ell", feat_dim=f)
-    x = jax.random.normal(jax.random.PRNGKey(1), (n, f), dtype=jnp.float32)
+    def make_loop(length):
+        @jax.jit
+        def loop(a, x0):
+            def body(carry, _):
+                c = carry
+                out, vjp = jax.vjp(lambda q: spmm.propagate(a, q), c)
+                dx = vjp(out)[0]
+                return dx * 0.01 + 0.001, None
 
-    fwdbwd = jax.jit(jax.grad(lambda xv: spmm.propagate(adj, xv).sum()))
-    fwdbwd(x).block_until_ready()  # compile
+            out, _ = jax.lax.scan(body, x0, None, length=length)
+            return out
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fwdbwd(x)
-        out.block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / iters)
+        return functools.partial(loop, adj)
 
-    edges_per_s = 2.0 * nnz / best  # fwd + bwd passes
+    per_iter = slope_time(make_loop, (x,))
+    edges_per_s = 2.0 * nnz / per_iter
 
-    # Roofline: one f32 feature row (4*F bytes) moved per edge slot per pass.
-    hbm_bw = 819e9 if on_tpu else 50e9  # v5e ~819 GB/s
-    roofline = hbm_bw / (4.0 * f)
-    vs_baseline = edges_per_s / 2.0 / roofline  # per-pass fraction of roofline
+    hbm_bw = 8.19e11 if on_tpu else 5.0e10
+    roofline_per_pass = hbm_bw / (4.0 * feat_dim)
+    vs_baseline = (edges_per_s / 2.0) / roofline_per_pass
 
     print(
         json.dumps(
             {
                 "metric": "spmm_fwdbwd_edges_per_s",
                 "value": round(edges_per_s, 1),
-                "unit": f"edges/s (n={n}, nnz={nnz}, F={f}, {platform})",
+                "unit": f"edges/s (5-gram n={n}, nnz={nnz}, F={feat_dim}, {dev.platform})",
                 "vs_baseline": round(vs_baseline, 4),
             }
         )

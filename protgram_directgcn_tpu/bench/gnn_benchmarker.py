@@ -89,9 +89,12 @@ class GNNBenchmarker:
 
     # ------------------------------------------------------------------
 
-    def train_and_evaluate(self, model_name, apply_fn, params, ds, masks, epochs, lr, wd, seed):
+    def train_and_evaluate(self, model_name, apply_fn, params, ds, masks, epochs, lr, wd, seed,
+                           graph=None):
         """Masked-CE training with best-val test checkpointing
-        (reference: gnn_benchmarker.py:225-286)."""
+        (reference: gnn_benchmarker.py:225-286).  Graph arrays are threaded
+        through jit as arguments (not closures) so remote-compile backends
+        do not ship them as constants."""
         train_mask, val_mask, test_mask = (jnp.asarray(m) for m in masks)
         x = jnp.asarray(ds.x)
         y = jnp.asarray(ds.y.astype(np.int32))
@@ -100,9 +103,9 @@ class GNNBenchmarker:
         opt_state = opt.init(params)
 
         @jax.jit
-        def step(params, opt_state, rng):
+        def step(params, opt_state, rng, graph):
             def loss_fn(p):
-                logits, _ = apply_fn(p, x, True, rng)
+                logits, _ = apply_fn(p, x, True, rng, graph)
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 per = -jnp.take_along_axis(logp, y[:, None], 1)[:, 0]
                 return jnp.sum(per * train_mask) / jnp.maximum(train_mask.sum(), 1.0)
@@ -112,8 +115,8 @@ class GNNBenchmarker:
             return optax.apply_updates(params, updates), opt_state, loss
 
         @jax.jit
-        def evaluate(params):
-            logits, emb = apply_fn(params, x, False, None)
+        def evaluate(params, graph):
+            logits, emb = apply_fn(params, x, False, None, graph)
             pred = jnp.argmax(logits, axis=-1)
             correct = (pred == y).astype(jnp.float32)
             acc_val = jnp.sum(correct * val_mask) / jnp.maximum(val_mask.sum(), 1.0)
@@ -126,8 +129,8 @@ class GNNBenchmarker:
         history = []
         for epoch in range(epochs):
             rng, sub = jax.random.split(rng)
-            params, opt_state, loss = step(params, opt_state, sub)
-            acc_val, acc_test, _ = evaluate(params)
+            params, opt_state, loss = step(params, opt_state, sub, graph)
+            acc_val, acc_test, _ = evaluate(params, graph)
             acc_val = float(acc_val)
             history.append({"epoch": epoch, "loss": float(loss), "val_accuracy": acc_val})
             if acc_val >= best_val:
@@ -151,7 +154,8 @@ class GNNBenchmarker:
                 edge_index=ds.edge_index, num_nodes=ds.num_nodes, in_dim=ds.x.shape[1],
                 out_dim=num_classes, **spec["params"],
             )
-            model_runs.append((name, model.apply, model.init_params(jax.random.PRNGKey(seed))))
+            model_runs.append((name, model.apply, model.init_params(jax.random.PRNGKey(seed)),
+                               model.graph_arrays()))
 
         # DirectGCN adapter (reference: gnn_benchmarker.py:312-335).
         gcn_cfg = self.config.gcn
@@ -163,22 +167,23 @@ class GNNBenchmarker:
         )
         dgraph = _directgcn_device_graph(ds, feat_dim=max(layer_dims))
 
-        def directgcn_apply_fn(p, x, train, rng):
+        def directgcn_apply_fn(p, x, train, rng, graph):
             # Returns log-softmax "logits"; benchmark loss applies CE on top —
             # the reference's exact double-log-softmax composition.
-            return directgcn_apply(p, dgraph, x, d_cfg, train=train, rng=rng)
+            return directgcn_apply(p, graph, x, d_cfg, train=train, rng=rng)
 
         model_runs.append(
             ("ProtGramDirectGCN", directgcn_apply_fn,
-             init_directgcn_params(jax.random.PRNGKey(seed), d_cfg))
+             init_directgcn_params(jax.random.PRNGKey(seed), d_cfg), dgraph)
         )
 
-        for name, apply_fn, params in model_runs:
+        for name, apply_fn, params, graph in model_runs:
             t0 = time.monotonic()
             try:
                 best_val, best_test, history, best_params = self.train_and_evaluate(
                     name, apply_fn, params, ds, masks,
                     epochs=epochs, lr=self.config.eval.learning_rate, wd=5e-4, seed=seed,
+                    graph=graph,
                 )
             except Exception as e:  # parity with reference's per-model try/except
                 logger.exception("model %s failed on %s: %s", name, variant, e)
@@ -199,7 +204,7 @@ class GNNBenchmarker:
                 os.path.join(str(var_dir), f"benchmark_{name}_history.csv"), index=False
             )
             if self.bench.save_embeddings:
-                _, emb = jax.jit(lambda p: apply_fn(p, jnp.asarray(ds.x), False, None))(best_params)
+                _, emb = jax.jit(lambda p, g: apply_fn(p, jnp.asarray(ds.x), False, None, g))(best_params, graph)
                 emb = np.asarray(emb)
                 emb_dict = {f"node_{i}": emb[i].astype(np.float16) for i in range(len(emb))}
                 write_h5_embeddings(os.path.join(str(var_dir), f"{name}_node_embeddings.h5"), emb_dict)

@@ -104,10 +104,22 @@ class BaseZooModel:
         self.num_nodes = num_nodes
         self.feat_dim = feat_dim
 
+    # Names of per-instance graph-array attributes.  ``graph_arrays()``
+    # exposes them as a pytree so callers can thread them through jit as
+    # ARGUMENTS: closed-over device arrays become compile-time constants,
+    # which on remote-compile backends ship with every compile request.
+    _graph_attrs: tuple = ()
+
+    def graph_arrays(self):
+        return {name: getattr(self, name) for name in self._graph_attrs}
+
+    def _g(self, graph, name):
+        return graph[name] if graph is not None else getattr(self, name)
+
     def init_params(self, key) -> Params:
         raise NotImplementedError
 
-    def apply(self, params: Params, x, train: bool = False, rng=None):
+    def apply(self, params: Params, x, train: bool = False, rng=None, graph=None):
         """Returns (logits, embeddings) — embeddings per the reference's
         get_embeddings semantics for this architecture."""
         raise NotImplementedError
@@ -128,6 +140,8 @@ class GCN(BaseZooModel):
         self.dropout_rate = dropout_rate
         self.adj = _gcn_norm_adj(edge_index, edge_weight, num_nodes, hidden_dim)
 
+    _graph_attrs = ("adj",)
+
     def init_params(self, key):
         keys = jax.random.split(key, len(self.dims) - 1)
         return {
@@ -137,11 +151,12 @@ class GCN(BaseZooModel):
             ]
         }
 
-    def apply(self, params, x, train=False, rng=None):
+    def apply(self, params, x, train=False, rng=None, graph=None):
         h = x
+        adj = self._g(graph, "adj")
         n_layers = len(params["layers"])
         for i, lp in enumerate(params["layers"]):
-            h = propagate(self.adj, h @ lp["w"]) + lp["b"]
+            h = propagate(adj, h @ lp["w"]) + lp["b"]
             if i < n_layers - 1:
                 h = jax.nn.relu(h)
                 h, rng = _dropout(h, self.dropout_rate, rng, train)
@@ -163,6 +178,8 @@ class GraphSAGE(BaseZooModel):
         self.dropout_rate = dropout_rate
         self.adj = _mean_adj(edge_index, num_nodes, hidden_dim)
 
+    _graph_attrs = ("adj",)
+
     def init_params(self, key):
         keys = jax.random.split(key, len(self.dims) - 1)
         return {
@@ -176,11 +193,12 @@ class GraphSAGE(BaseZooModel):
             ]
         }
 
-    def apply(self, params, x, train=False, rng=None):
+    def apply(self, params, x, train=False, rng=None, graph=None):
         h = x
+        adj = self._g(graph, "adj")
         n_layers = len(params["layers"])
         for i, lp in enumerate(params["layers"]):
-            h = propagate(self.adj, h) @ lp["w_nbr"] + lp["b_nbr"] + h @ lp["w_root"]
+            h = propagate(adj, h) @ lp["w_nbr"] + lp["b_nbr"] + h @ lp["w_root"]
             if i < n_layers - 1:
                 h = jax.nn.relu(h)
                 h, rng = _dropout(h, self.dropout_rate, rng, train)
@@ -206,6 +224,7 @@ class GAT(BaseZooModel):
         order = np.argsort(tgt, kind="stable")
         self.src = jnp.asarray(src[order])
         self.tgt = jnp.asarray(tgt[order])
+        self._graph_attrs = ("src", "tgt")
         # Layer shapes: in->hidden (H heads, concat), ..., hidden*H->out (1 head).
         if num_layers == 1:
             self.layer_specs = [(in_dim, out_dim, heads, False)]
@@ -230,28 +249,30 @@ class GAT(BaseZooModel):
             )
         return {"layers": layers}
 
-    def _gat_layer(self, lp, x, heads, dout, concat, train, rng):
+    def _gat_layer(self, lp, x, heads, dout, concat, train, rng, graph=None):
         n = x.shape[0]
+        src_e = self._g(graph, "src")
+        tgt_e = self._g(graph, "tgt")
         z = (x @ lp["w"]).reshape(n, heads, dout)
         a_src = jnp.sum(z * lp["att_src"], axis=-1)  # [N, H]
         a_dst = jnp.sum(z * lp["att_dst"], axis=-1)
-        logits = jax.nn.leaky_relu(a_src[self.src] + a_dst[self.tgt], negative_slope=0.2)  # [E, H]
-        alpha = segment_softmax(logits, self.tgt, n)
+        logits = jax.nn.leaky_relu(a_src[src_e] + a_dst[tgt_e], negative_slope=0.2)  # [E, H]
+        alpha = segment_softmax(logits, tgt_e, n)
         alpha, rng = _dropout(alpha, self.dropout_rate, rng, train)
-        msgs = z[self.src] * alpha[:, :, None]  # [E, H, dout]
-        out = jax.ops.segment_sum(msgs, self.tgt, num_segments=n, indices_are_sorted=True)
+        msgs = z[src_e] * alpha[:, :, None]  # [E, H, dout]
+        out = jax.ops.segment_sum(msgs, tgt_e, num_segments=n, indices_are_sorted=True)
         if concat:
             out = out.reshape(n, heads * dout)
         else:
             out = out.mean(axis=1)
         return out + lp["b"], rng
 
-    def apply(self, params, x, train=False, rng=None):
+    def apply(self, params, x, train=False, rng=None, graph=None):
         h = x
         n_layers = len(params["layers"])
         for i, (lp, (din, dout, heads, concat)) in enumerate(zip(params["layers"], self.layer_specs)):
             # Input dropout per GAT convention is folded into attention dropout.
-            h, rng = self._gat_layer(lp, h, heads, dout, concat, train, rng)
+            h, rng = self._gat_layer(lp, h, heads, dout, concat, train, rng, graph)
             if i < n_layers - 1:
                 h = jax.nn.elu(h)
         return h, h
@@ -278,6 +299,8 @@ class GIN(BaseZooModel):
             current = out
         self.adj = _sum_adj(edge_index, None, num_nodes, hidden_dim)
 
+    _graph_attrs = ("adj",)
+
     def init_params(self, key):
         layers = []
         for i, (din, dh, dout) in enumerate(self.dims):
@@ -293,11 +316,12 @@ class GIN(BaseZooModel):
             )
         return {"layers": layers}
 
-    def apply(self, params, x, train=False, rng=None):
+    def apply(self, params, x, train=False, rng=None, graph=None):
         h = x
+        adj = self._g(graph, "adj")
         n_layers = len(params["layers"])
         for i, lp in enumerate(params["layers"]):
-            agg = (1.0 + lp["eps"]) * h + propagate(self.adj, h)
+            agg = (1.0 + lp["eps"]) * h + propagate(adj, h)
             h = jax.nn.relu(agg @ lp["w1"] + lp["b1"]) @ lp["w2"] + lp["b2"]
             if i < n_layers - 1:
                 h = jax.nn.relu(h)
@@ -321,6 +345,8 @@ class ChebNet(BaseZooModel):
         self.dropout_rate = dropout_rate
         self.lap = _cheb_operator(edge_index, edge_weight, num_nodes, hidden_dim)
 
+    _graph_attrs = ("lap",)
+
     def init_params(self, key):
         layers = []
         for i in range(len(self.dims) - 1):
@@ -333,17 +359,18 @@ class ChebNet(BaseZooModel):
             )
         return {"layers": layers}
 
-    def apply(self, params, x, train=False, rng=None):
+    def apply(self, params, x, train=False, rng=None, graph=None):
         h = x
+        lap = self._g(graph, "lap")
         n_layers = len(params["layers"])
         for i, lp in enumerate(params["layers"]):
             t_prev_prev = h
             out = t_prev_prev @ lp["ws"][0]
             if self.K > 1:
-                t_prev = propagate(self.lap, h)
+                t_prev = propagate(lap, h)
                 out = out + t_prev @ lp["ws"][1]
                 for j in range(2, self.K):
-                    t_cur = 2.0 * propagate(self.lap, t_prev) - t_prev_prev
+                    t_cur = 2.0 * propagate(lap, t_prev) - t_prev_prev
                     out = out + t_cur @ lp["ws"][j]
                     t_prev_prev, t_prev = t_prev, t_cur
             h = out + lp["b"]
@@ -368,6 +395,8 @@ class RGCN(BaseZooModel):
         self.dropout_rate = dropout_rate
         self.adj = _mean_adj(edge_index, num_nodes, hidden_dim)  # aggr='mean'
 
+    _graph_attrs = ("adj",)
+
     def init_params(self, key):
         layers = []
         for i in range(len(self.dims) - 1):
@@ -381,11 +410,12 @@ class RGCN(BaseZooModel):
             )
         return {"layers": layers}
 
-    def apply(self, params, x, train=False, rng=None):
+    def apply(self, params, x, train=False, rng=None, graph=None):
         h = x
+        adj = self._g(graph, "adj")
         n_layers = len(params["layers"])
         for i, lp in enumerate(params["layers"]):
-            h = propagate(self.adj, h) @ lp["w_rel"] + h @ lp["w_root"] + lp["b"]
+            h = propagate(adj, h) @ lp["w_rel"] + h @ lp["w_root"] + lp["b"]
             if i < n_layers - 1:
                 h = jax.nn.relu(h)
                 h, rng = _dropout(h, self.dropout_rate, rng, train)
@@ -420,12 +450,15 @@ class TongDiGCN(BaseZooModel):
             "b_final": jnp.zeros(self.out_dim),
         }
 
-    def apply(self, params, x, train=False, rng=None):
+    def graph_arrays(self):
+        return {"fwd": self.fwd.graph_arrays(), "bwd": self.bwd.graph_arrays()}
+
+    def apply(self, params, x, train=False, rng=None, graph=None):
         r1 = r2 = r3 = None
         if rng is not None:
             r1, r2, r3 = jax.random.split(rng, 3)
-        h_fwd, _ = self.fwd.apply(params["fwd"], x, train, r1)
-        h_bwd, _ = self.bwd.apply(params["bwd"], x, train, r2)
+        h_fwd, _ = self.fwd.apply(params["fwd"], x, train, r1, graph["fwd"] if graph else None)
+        h_bwd, _ = self.bwd.apply(params["bwd"], x, train, r2, graph["bwd"] if graph else None)
         combined = jnp.concatenate([h_fwd, h_bwd], axis=-1)
         combined, _ = _dropout(combined, self.dropout_rate, r3, train)
         return combined @ params["w_final"] + params["b_final"], combined

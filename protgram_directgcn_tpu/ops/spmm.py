@@ -27,7 +27,7 @@ gather→multiply→accumulate ELL propagation for HBM-resident graphs.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -83,7 +83,30 @@ class CooAdj:
     n_in: int = struct.field(pytree_node=False, default=0)
 
 
-Adjacency = Union[DenseAdj, EllAdj, CooAdj]
+@struct.dataclass
+class BucketedEllAdj:
+    """Degree-bucketed ELL: rows grouped by degree into per-bucket ELL tables.
+
+    Removes the padding waste of single-K ELL on degree-skewed graphs (a
+    single hub row otherwise forces K = max degree for every row).  Rows are
+    permuted so each bucket is a contiguous range; ``inv_perm`` maps the
+    concatenated bucket output back to original node order.  Both
+    orientations are bucketed independently (backward = transpose).
+    """
+
+    idx: Tuple[jnp.ndarray, ...]  # per-bucket [rows_b, K_b] int32 source ids
+    w: Tuple[jnp.ndarray, ...]  # per-bucket [rows_b, K_b] f32
+    inv_perm: jnp.ndarray  # [n_out] int32: out = concat(buckets)[inv_perm]
+    idx_t: Tuple[jnp.ndarray, ...]
+    w_t: Tuple[jnp.ndarray, ...]
+    inv_perm_t: jnp.ndarray
+
+    @property
+    def n_out(self) -> int:
+        return self.inv_perm.shape[0]
+
+
+Adjacency = Union[DenseAdj, EllAdj, CooAdj, BucketedEllAdj]
 
 
 # ----------------------------------------------------------------------------
@@ -142,6 +165,49 @@ def build_dense(
     return DenseAdj(at=jnp.asarray(at, dtype=dtype))
 
 
+_BUCKET_KS = (4, 8, 16, 32, 64, 128)
+
+
+def _bucketed_one_sided(src, tgt, w, n_out):
+    """Group rows (targets) by degree bucket; returns (idx_list, w_list, inv_perm)."""
+    src = np.asarray(src, np.int64)
+    tgt = np.asarray(tgt, np.int64)
+    w = np.asarray(w, np.float32)
+    deg = np.bincount(tgt, minlength=n_out) if len(tgt) else np.zeros(n_out, np.int64)
+    order = np.argsort(deg, kind="stable")
+    inv = np.empty(n_out, np.int64)
+    inv[order] = np.arange(n_out)
+    tgt_p = inv[tgt]
+    sorted_deg = deg[order]
+    bounds = []
+    start = 0
+    for kb in _BUCKET_KS:
+        end = int(np.searchsorted(sorted_deg, kb, side="right"))
+        if end > start:
+            bounds.append((start, end))
+        start = end
+        if start >= n_out:
+            break
+    if start < n_out:
+        bounds.append((start, n_out))
+    if not bounds:
+        bounds = [(0, n_out)]
+    idx_list, w_list = [], []
+    for s_, e_ in bounds:
+        m = (tgt_p >= s_) & (tgt_p < e_)
+        bi, bw = _ell_one_sided(src[m], tgt_p[m] - s_, w[m], e_ - s_)
+        idx_list.append(jnp.asarray(bi))
+        w_list.append(jnp.asarray(bw))
+    return tuple(idx_list), tuple(w_list), jnp.asarray(inv.astype(np.int32))
+
+
+def build_bucketed_ell(src, tgt, w, n_out: int, n_in: Optional[int] = None) -> BucketedEllAdj:
+    n_in = n_out if n_in is None else n_in
+    idx, wm, inv = _bucketed_one_sided(src, tgt, w, n_out)
+    idx_t, wm_t, inv_t = _bucketed_one_sided(tgt, src, w, n_in)
+    return BucketedEllAdj(idx=idx, w=wm, inv_perm=inv, idx_t=idx_t, w_t=wm_t, inv_perm_t=inv_t)
+
+
 def build_coo(
     src: np.ndarray, tgt: np.ndarray, w: np.ndarray, n_out: int, n_in: Optional[int] = None
 ) -> CooAdj:
@@ -198,17 +264,19 @@ def build_adjacency(
     if mode == "auto":
         mode = choose_format(n_out, n_in, len(src), feat_dim)
         if mode == "ell" and len(tgt):
-            # Refine: if the max degree is wildly above the mean (power-law
-            # benchmark graphs), padded ELL wastes memory — use COO.
+            # Refine: when max degree is well above the mean (degree skew),
+            # single-K ELL wastes padded slots — switch to degree buckets.
             deg = np.bincount(np.asarray(tgt, np.int64), minlength=n_out)
             deg_t = np.bincount(np.asarray(src, np.int64), minlength=n_in)
             kmax = max(int(deg.max()), int(deg_t.max()))
-            if kmax * max(n_out, n_in) > 8 * len(src):
-                mode = "coo"
+            if kmax * max(n_out, n_in) > 2 * len(src):
+                mode = "bucketed"
     if mode == "dense":
         return build_dense(src, tgt, w, n_out, n_in, dtype=dtype)
     if mode in ("ell", "pallas"):
         return build_ell(src, tgt, w, n_out, n_in)
+    if mode == "bucketed":
+        return build_bucketed_ell(src, tgt, w, n_out, n_in)
     if mode == "coo":
         return build_coo(src, tgt, w, n_out, n_in)
     raise ValueError(f"Unknown adjacency mode: {mode}")
@@ -271,6 +339,38 @@ def _propagate_ell_bwd(res, g):
 _propagate_ell.defvjp(_propagate_ell_fwd, _propagate_ell_bwd)
 
 
+def _bucketed_apply(idx_tuple, w_tuple, inv_perm, x):
+    outs = [_ell_apply(i, wv, x) for i, wv in zip(idx_tuple, w_tuple)]
+    return jnp.concatenate(outs, axis=0)[inv_perm]
+
+
+@jax.custom_vjp
+def _propagate_bucketed(idx, w, inv_perm, idx_t, w_t, inv_perm_t, x):
+    return _bucketed_apply(idx, w, inv_perm, x)
+
+
+def _propagate_bucketed_fwd(idx, w, inv_perm, idx_t, w_t, inv_perm_t, x):
+    return _bucketed_apply(idx, w, inv_perm, x), (idx, w, inv_perm, idx_t, w_t, inv_perm_t)
+
+
+def _propagate_bucketed_bwd(res, g):
+    idx, w, inv_perm, idx_t, w_t, inv_perm_t = res
+    dx = _bucketed_apply(idx_t, w_t, inv_perm_t, g)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (
+        tuple(f0(a) for a in idx),
+        tuple(jnp.zeros_like(a) for a in w),
+        f0(inv_perm),
+        tuple(f0(a) for a in idx_t),
+        tuple(jnp.zeros_like(a) for a in w_t),
+        f0(inv_perm_t),
+        dx,
+    )
+
+
+_propagate_bucketed.defvjp(_propagate_bucketed_fwd, _propagate_bucketed_bwd)
+
+
 def _coo_apply(src, tgt, w, x, n_out):
     msgs = w[:, None] * jnp.take(x, src, axis=0)
     return jax.ops.segment_sum(msgs, tgt, num_segments=n_out, indices_are_sorted=True)
@@ -312,6 +412,10 @@ def propagate(adj: Adjacency, x: jnp.ndarray, use_pallas: bool = False) -> jnp.n
 
             return propagate_ell_pallas(adj, x)
         return _propagate_ell(adj.idx, adj.w, adj.idx_t, adj.w_t, x)
+    if isinstance(adj, BucketedEllAdj):
+        return _propagate_bucketed(
+            adj.idx, adj.w, adj.inv_perm, adj.idx_t, adj.w_t, adj.inv_perm_t, x
+        )
     if isinstance(adj, CooAdj):
         return _propagate_coo(adj.src, adj.tgt, adj.w, adj.src_t, adj.tgt_t, adj.w_t, adj.n_out, adj.n_in, x)
     raise TypeError(f"Unknown adjacency type: {type(adj)}")

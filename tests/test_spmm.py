@@ -88,3 +88,43 @@ def test_empty_graph():
     )
     out = np.asarray(spmm.propagate(adj, jnp.ones((4, 8))))
     np.testing.assert_allclose(out, np.zeros((4, 8)))
+
+
+def test_bucketed_matches_oracle(graph_and_x):
+    n, src, tgt, w, x = graph_and_x
+    adj = spmm.build_bucketed_ell(src, tgt, w, n)
+    out = np.asarray(spmm.propagate(adj, jnp.asarray(x)))
+    np.testing.assert_allclose(out, dense_oracle(src, tgt, w, n, x), rtol=1e-4, atol=1e-4)
+
+
+def test_bucketed_gradients(graph_and_x):
+    n, src, tgt, w, x = graph_and_x
+    adj = spmm.build_bucketed_ell(src, tgt, w, n)
+    g = np.random.default_rng(1).normal(size=(n, 32)).astype(np.float32)
+
+    def loss(xv):
+        return jnp.sum(spmm.propagate(adj, xv) * jnp.asarray(g))
+
+    dx = np.asarray(jax.grad(loss)(jnp.asarray(x)))
+    at = np.zeros((n, n))
+    np.add.at(at, (tgt, src), w)
+    np.testing.assert_allclose(dx, at.T @ g, rtol=1e-4, atol=1e-4)
+
+
+def test_bucketed_skewed_graph():
+    """Hub row (degree 300) + many degree-1 rows: padding must stay small."""
+    rng = np.random.default_rng(0)
+    n = 400
+    hub_src = rng.integers(0, n, 300).astype(np.int32)
+    hub_tgt = np.zeros(300, np.int32)
+    rest_src = rng.integers(0, n, n - 1).astype(np.int32)
+    rest_tgt = np.arange(1, n, dtype=np.int32)
+    src = np.concatenate([hub_src, rest_src])
+    tgt = np.concatenate([hub_tgt, rest_tgt])
+    w = np.ones(len(src), np.float32)
+    adj = spmm.build_bucketed_ell(src, tgt, w, n)
+    padded_slots = sum(int(i.shape[0] * i.shape[1]) for i in adj.idx)
+    assert padded_slots < 3 * len(src)  # vs single-K ELL's ~300*n
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    out = np.asarray(spmm.propagate(adj, jnp.asarray(x)))
+    np.testing.assert_allclose(out, dense_oracle(src, tgt, w, n, x), rtol=1e-4, atol=1e-4)
