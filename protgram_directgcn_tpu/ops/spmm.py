@@ -418,4 +418,9 @@ def propagate(adj: Adjacency, x: jnp.ndarray, use_pallas: bool = False) -> jnp.n
         )
     if isinstance(adj, CooAdj):
         return _propagate_coo(adj.src, adj.tgt, adj.w, adj.src_t, adj.tgt_t, adj.w_t, adj.n_out, adj.n_in, x)
+    # Distributed halo adjacency (imported lazily to avoid a cycle).
+    from protgram_directgcn_tpu.parallel import halo as _halo
+
+    if isinstance(adj, _halo.HaloAdj):
+        return _halo.propagate_halo(adj, x)
     raise TypeError(f"Unknown adjacency type: {type(adj)}")

@@ -182,3 +182,87 @@ def pad_node_features(x: np.ndarray, part: HaloPartition) -> np.ndarray:
     if x.shape[0] < total:
         x = np.pad(x, ((0, total - x.shape[0]), (0, 0)))
     return x
+
+
+# ----------------------------------------------------------------------------
+# Pluggable adjacency: lets the DirectGCN model run distributed unchanged.
+# ----------------------------------------------------------------------------
+
+import contextlib
+import threading
+
+_MESH_CTX = threading.local()
+
+
+@contextlib.contextmanager
+def active_mesh(mesh: Mesh):
+    """Make `mesh` the ambient mesh for HaloAdj propagation."""
+    prev = getattr(_MESH_CTX, "mesh", None)
+    _MESH_CTX.mesh = mesh
+    try:
+        with mesh:
+            yield
+    finally:
+        _MESH_CTX.mesh = prev
+
+
+def current_mesh() -> Mesh:
+    mesh = getattr(_MESH_CTX, "mesh", None)
+    if mesh is None:
+        raise RuntimeError("HaloAdj propagation requires an `active_mesh(mesh)` context")
+    return mesh
+
+
+@struct.dataclass
+class HaloAdj:
+    """Adjacency variant whose propagation is the distributed halo exchange.
+
+    Drop-in for ops.spmm formats inside a DeviceGraph: the DirectGCN model
+    calls ``ops.spmm.propagate`` which dispatches here, so the full training
+    step runs edge-partitioned without any model changes.  Backward is the
+    transpose partition (prebuilt), mirroring the single-device custom VJP.
+    """
+
+    fwd: HaloPartition
+    bwd: HaloPartition  # transpose orientation
+    axis: str = struct.field(pytree_node=False, default="nodes")
+
+    @property
+    def n_out(self) -> int:
+        return self.fwd.send_idx.shape[0] * self.fwd.rows_per_shard
+
+
+@jax.custom_vjp
+def _halo_propagate_cv(fwd: HaloPartition, bwd: HaloPartition, x: jnp.ndarray):
+    return halo_propagate(fwd, x, current_mesh())
+
+
+def _halo_cv_fwd(fwd, bwd, x):
+    return halo_propagate(fwd, x, current_mesh()), (fwd, bwd)
+
+
+def _halo_cv_bwd(res, g):
+    fwd, bwd = res
+    dx = halo_propagate(bwd, g, current_mesh())
+    zero_part = lambda p: jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+        if jnp.issubdtype(a.dtype, jnp.integer)
+        else jnp.zeros_like(a),
+        p,
+    )
+    return (zero_part(fwd), zero_part(bwd), dx)
+
+
+_halo_propagate_cv.defvjp(_halo_cv_fwd, _halo_cv_bwd)
+
+
+def propagate_halo(adj: HaloAdj, x: jnp.ndarray) -> jnp.ndarray:
+    return _halo_propagate_cv(adj.fwd, adj.bwd, x)
+
+
+def build_halo_adjacency(src, tgt, w, num_nodes: int, num_shards: int, axis: str = "nodes") -> HaloAdj:
+    return HaloAdj(
+        fwd=build_halo_partition(src, tgt, w, num_nodes, num_shards),
+        bwd=build_halo_partition(tgt, src, w, num_nodes, num_shards),
+        axis=axis,
+    )

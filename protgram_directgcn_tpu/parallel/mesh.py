@@ -144,6 +144,28 @@ def shard_model_params(params: Any, mesh: Mesh) -> Any:
     return sharded
 
 
+def build_distributed_device_graph(graph, num_shards: int) -> DeviceGraph:
+    """DeviceGraph whose three operators are explicit halo-exchange
+    adjacencies (edge-partitioned over `num_shards` node blocks).
+
+    The DirectGCN model runs on this unchanged — `ops.spmm.propagate`
+    dispatches HaloAdj members to the shard_map halo path.  Use inside
+    `parallel.halo.active_mesh(mesh)`."""
+    from protgram_directgcn_tpu.graph.transforms import csr_to_coo_arrays
+    from protgram_directgcn_tpu.parallel.halo import build_halo_adjacency
+
+    def halo_from(m):
+        s, t, v = csr_to_coo_arrays(m)
+        return build_halo_adjacency(s, t, v, graph.num_nodes, num_shards)
+
+    return DeviceGraph(
+        p_in=halo_from(graph.mathcal_a_in()),
+        p_out=halo_from(graph.mathcal_a_out()),
+        p_und=halo_from(graph.undirected_norm()),
+        num_nodes=graph.num_nodes,
+    )
+
+
 def shard_training_inputs(mesh: Mesh, x, y, mask) -> Tuple[Any, Any, Any]:
     """Shard node features/labels/mask along the "nodes" axis (row-padded)."""
     n_shards = mesh.shape["nodes"]

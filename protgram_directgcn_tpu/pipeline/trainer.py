@@ -353,9 +353,10 @@ class HierarchicalTrainer:
                         epochs_run, time.monotonic() - t0, loss_val)
 
         # Eval-mode embedding extraction on the full graph
-        # (reference: models_utils.py:264-273).
-        eval_fn = jax.jit(lambda p, xv: directgcn_apply(p, full_graph, xv, model_cfg, train=False))
-        _, embeds = eval_fn(params, jnp.asarray(x_np))
+        # (reference: models_utils.py:264-273).  Graph passed as a jit
+        # argument — not a closure — to keep remote compiles small.
+        eval_fn = jax.jit(lambda p, g, xv: directgcn_apply(p, g, xv, model_cfg, train=False))
+        _, embeds = eval_fn(params, full_graph, jnp.asarray(x_np))
         return params, np.asarray(embeds), model_cfg, full_graph
 
     # ------------------------------------------------------------------

@@ -81,3 +81,75 @@ def test_weak_scaling_harness_runs():
     assert [p.shards for p in points] == [1, 2, 4]
     assert points[0].efficiency == 1.0
     assert all(p.edges_per_s > 0 for p in points)
+
+
+def test_distributed_directgcn_step_matches_single_device(toy_fasta):
+    """Full DirectGCN training step through HaloAdj == single-device step."""
+    import optax
+
+    from protgram_directgcn_tpu.graph.builder import NgramGraphBuilder
+    from protgram_directgcn_tpu.models.directgcn import DirectGCNConfig, init_directgcn_params
+    from protgram_directgcn_tpu.parallel.halo import active_mesh
+    from protgram_directgcn_tpu.parallel.mesh import (
+        build_distributed_device_graph,
+        make_mesh,
+        shard_model_params,
+        shard_training_inputs,
+    )
+    from protgram_directgcn_tpu.pipeline.labels import generate_labels
+    from protgram_directgcn_tpu.pipeline.trainer import make_optimizer, make_train_step
+
+    seqs = [("P1", "MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ"), ("P2", "QDKTAYIAKQRQISFVK")]
+    g = NgramGraphBuilder(n_max=2).build_from_sequences(seqs)[1]
+    n = g.num_nodes
+    shards = 4
+    rng = np.random.default_rng(0)
+    feat = 12
+    x_np = rng.standard_normal((n, feat)).astype(np.float32)
+    y_np, nc = generate_labels(g, "next_node", seed=0)
+
+    cfg = DirectGCNConfig(layer_dims=(feat, 8), num_nodes=n, num_classes=nc,
+                          n_gram_len=2, dropout=0.0)
+    params0 = init_directgcn_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3, 0.0)
+    step = make_train_step(cfg, opt, l2_lambda=1e-6)
+    key = jax.random.PRNGKey(5)
+
+    # Single-device baseline.
+    dg = g.to_device(mode="ell", feat_dim=feat)
+    x = jnp.asarray(x_np)
+    y = jnp.asarray(y_np.astype(np.int32))
+    mask = jnp.ones(n, jnp.float32)
+    p1, _, loss1, _ = step(params0, opt.init(params0), dg, x, y, mask, jnp.float32(1.0), key, None)
+
+    # Distributed: halo graph + node-sharded params/inputs, same math.
+    mesh = make_mesh(shards, feat_axis=1)
+    ddg = build_distributed_device_graph(g, shards)
+    total = ddg.p_in.n_out
+    pad = total - n
+    xd = jnp.asarray(np.pad(x_np, ((0, pad), (0, 0))))
+    yd = jnp.asarray(np.pad(y_np.astype(np.int32), (0, pad)))
+    md = jnp.asarray(np.pad(np.ones(n, np.float32), (0, pad)))
+    cfg_d = DirectGCNConfig(layer_dims=(feat, 8), num_nodes=total, num_classes=nc,
+                            n_gram_len=2, dropout=0.0)
+    # Pad per-node params to the distributed row count, then shard.
+    import jax.numpy as jnp2
+
+    params_pad = jax.tree_util.tree_map(lambda a: a, params0)
+    for lp in params_pad["layers"]:
+        for name in ("c_in", "c_out", "c_directed", "c_undirected", "c_all", "constant"):
+            lp[name] = jnp2.pad(lp[name], ((0, pad), (0, 0)))
+    params_d = shard_model_params(params_pad, mesh)
+    xd, yd, md = shard_training_inputs(mesh, xd, yd, md)
+    step_d = make_train_step(cfg_d, opt, l2_lambda=1e-6)
+    with active_mesh(mesh):
+        p2, _, loss2, _ = step_d(params_d, opt.init(params_d), ddg, xd, yd, md,
+                                 jnp.float32(1.0), key, None)
+        loss2 = float(loss2)
+
+    assert abs(float(loss1) - loss2) < 1e-4
+    # Updated non-node params must match too.
+    np.testing.assert_allclose(
+        np.asarray(p1["layers"][0]["w_shared"]), np.asarray(p2["layers"][0]["w_shared"]),
+        rtol=1e-4, atol=1e-5,
+    )
