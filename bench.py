@@ -68,18 +68,25 @@ def build_or_load_graph(num_seqs: int, seed: int = 0):
     return src, tgt, val, g5.num_nodes
 
 
-def slope_time(fn, args, lens=(2, 18), repeats=3):
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def slope_time(fn, args, lens=(2, 10), repeats=2):
     """Per-iteration seconds via scan-length slope (min over repeats, forced
     host fetch).  Falls back to the long run's mean if noise swamps the slope."""
     fns = {length: fn(length) for length in lens}
     for length in lens:
+        t0 = time.perf_counter()
         _ = np.asarray(fns[length](*args))[:1, :1]  # compile + warm
+        _log(f"compile+first L={length}: {time.perf_counter() - t0:.1f}s")
     best = {length: float("inf") for length in lens}
     for _ in range(repeats):
         for length in lens:
             t0 = time.perf_counter()
             _ = np.asarray(fns[length](*args))[:1, :1]
             best[length] = min(best[length], time.perf_counter() - t0)
+    _log(f"timings: {best}")
     per = (best[lens[1]] - best[lens[0]]) / (lens[1] - lens[0])
     if per <= 0:  # noise floor exceeded the slope signal
         per = best[lens[1]] / lens[1]
@@ -103,12 +110,18 @@ def main():
     feat_dim = 128
     num_seqs = 30_000 if on_tpu else 500
 
+    t0 = time.perf_counter()
     src, tgt, val, n = build_or_load_graph(num_seqs)
     nnz = len(src)
+    _log(f"graph ready: n={n} nnz={nnz} ({time.perf_counter() - t0:.1f}s)")
     # Scale weights to keep the chained iteration numerically bounded.
     val = (val / max(1e-9, float(np.abs(val).max()))).astype(np.float32)
 
-    adj = spmm.build_adjacency(src, tgt, val, n, mode="bucketed", feat_dim=feat_dim)
+    mode = os.environ.get("BENCH_SPMM_MODE", "bucketed")
+    t0 = time.perf_counter()
+    adj = spmm.build_adjacency(src, tgt, val, n, mode=mode, feat_dim=feat_dim)
+    jax.block_until_ready(jax.tree_util.tree_leaves(adj))
+    _log(f"adjacency built mode={mode} ({time.perf_counter() - t0:.1f}s)")
     x = jax.random.normal(jax.random.PRNGKey(1), (n, feat_dim), dtype=jnp.float32)
 
     def make_loop(length):

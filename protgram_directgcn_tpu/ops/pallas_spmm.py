@@ -109,10 +109,133 @@ _propagate_ell_pallas.defvjp(_fwd, _bwd)
 
 
 def propagate_ell_pallas(adj, x: jnp.ndarray) -> jnp.ndarray:
-    """Pallas ELL propagation with automatic fallback to the XLA path."""
-    n_in = adj.idx_t.shape[0]
-    if not pallas_supported(n_in):
-        from protgram_directgcn_tpu.ops.spmm import _propagate_ell
+    """Pallas ELL propagation with automatic kernel selection.
 
-        return _propagate_ell(adj.idx, adj.w, adj.idx_t, adj.w_t, x)
-    return _propagate_ell_pallas(adj.idx, adj.w, adj.idx_t, adj.w_t, x)
+    Small source tables ride the VMEM-resident kernel; larger graphs use the
+    HBM wave-DMA gather kernel."""
+    n_in = adj.idx_t.shape[0]
+    if pallas_supported(n_in):
+        return _propagate_ell_pallas(adj.idx, adj.w, adj.idx_t, adj.w_t, x)
+    return _propagate_ell_hbm(adj.idx, adj.w, adj.idx_t, adj.w_t, x)
+
+
+# ----------------------------------------------------------------------------
+# HBM wave-DMA gather kernel.
+#
+# XLA's row gather on SparseCore-less TPUs lowers to a serialized
+# dynamic-slice loop (measured ~4 GB/s effective at 2.5M-row tables on this
+# part vs ~612 GB/s streaming).  This kernel drives the DMA engine directly:
+# for each row tile it issues one async copy per (row, k) edge slot — 512B+
+# row fetches HBM→VMEM — in K-indexed waves, double-buffered so wave k+1's
+# fetches overlap wave k's FMA accumulation.
+# ----------------------------------------------------------------------------
+
+_HBM_TILE_N = 128
+
+
+def _ell_hbm_kernel(idx_ref, wt_ref, x_hbm, o_ref, gbuf, sems):
+    # idx_ref: SMEM [tile_n, K]; wt_ref: VMEM [K, tile_n, 1] (k-major so the
+    # dynamic k index lands on a major dim — lane-dim dynamic slicing is not
+    # supported by Mosaic).
+    tile_n, k_slots = idx_ref.shape
+    f_total = o_ref.shape[1]
+
+    def issue(k, slot):
+        def issue_row(r, _):
+            src = idx_ref[r, k]
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(src, 1), :],
+                gbuf.at[slot, pl.ds(r, 1), :],
+                sems.at[slot, r],
+            ).start()
+            return 0
+
+        jax.lax.fori_loop(0, tile_n, issue_row, 0)
+
+    def wait_all(k, slot):
+        def wait_row(r, _):
+            src = idx_ref[r, k]
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(src, 1), :],
+                gbuf.at[slot, pl.ds(r, 1), :],
+                sems.at[slot, r],
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, tile_n, wait_row, 0)
+
+    issue(0, 0)
+
+    def body(k, acc):
+        slot = jax.lax.rem(k, 2)
+        next_slot = jax.lax.rem(k + 1, 2)
+
+        @pl.when(k + 1 < k_slots)
+        def _():
+            issue(k + 1, next_slot)
+
+        wait_all(k, slot)
+        wk = wt_ref[pl.ds(k, 1), :, :].reshape(tile_n, 1)  # [tile_n, 1]
+        gathered = gbuf[pl.ds(slot, 1), :, :].reshape(tile_n, f_total)
+        return acc + wk * gathered
+
+    acc = jax.lax.fori_loop(
+        0, k_slots, body, jnp.zeros((tile_n, f_total), jnp.float32)
+    )
+    o_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ell_hbm_raw(idx, w, x, interpret=False):
+    n_out = idx.shape[0]
+    f = x.shape[1]
+    idx_p = _pad_rows(idx, _HBM_TILE_N)
+    w_p = _pad_rows(w, _HBM_TILE_N)
+    n_pad = idx_p.shape[0]
+    k_slots = idx_p.shape[1]
+    f_pad = (-f) % 128
+    x_p = jnp.pad(x, ((0, 0), (0, f_pad))) if f_pad else x
+    f_total = x_p.shape[1]
+
+    # k-major weights [K, N, 1] so the kernel's dynamic k index is a major dim.
+    wt = jnp.transpose(w_p, (1, 0))[:, :, None]
+
+    grid = (n_pad // _HBM_TILE_N,)
+    out = pl.pallas_call(
+        _ell_hbm_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_HBM_TILE_N, k_slots), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((k_slots, _HBM_TILE_N, 1), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec((_HBM_TILE_N, f_total), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, f_total), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, _HBM_TILE_N, f_total), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _HBM_TILE_N)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(idx_p, wt, x_p.astype(jnp.float32))
+    return out[:n_out, :f]
+
+
+@jax.custom_vjp
+def _propagate_ell_hbm(idx, w, idx_t, w_t, x):
+    return _ell_hbm_raw(idx, w, x)
+
+
+def _hbm_fwd(idx, w, idx_t, w_t, x):
+    return _ell_hbm_raw(idx, w, x), (idx, w, idx_t, w_t)
+
+
+def _hbm_bwd(res, g):
+    idx, w, idx_t, w_t = res
+    dx = _ell_hbm_raw(idx_t, w_t, g)
+    z_i = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    z_it = np.zeros(idx_t.shape, dtype=jax.dtypes.float0)
+    return (z_i, jnp.zeros_like(w), z_it, jnp.zeros_like(w_t), dx)
+
+
+_propagate_ell_hbm.defvjp(_hbm_fwd, _hbm_bwd)
