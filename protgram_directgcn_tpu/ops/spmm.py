@@ -165,7 +165,9 @@ def build_dense(
     return DenseAdj(at=jnp.asarray(at, dtype=dtype))
 
 
-_BUCKET_KS = (4, 8, 16, 32, 64, 128)
+# Few buckets keep the compiled program small (each bucket adds an
+# unrolled gather chain to the HLO).
+_BUCKET_KS = (8, 16, 64)
 
 
 def _bucketed_one_sided(src, tgt, w, n_out):
@@ -290,14 +292,29 @@ def build_adjacency(
 _ELL_CHUNK_BYTES = 256 * 1024 * 1024
 
 
+# K at or below this unrolls into straight-line gather+FMA (simple HLO;
+# remote compiles of scan-heavy SpMM programs were measured at 25+ minutes).
+_ELL_UNROLL_K = 16
+
+
 def _ell_apply(idx: jnp.ndarray, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """out[i] = sum_k w[i,k] * x[idx[i,k]] via K-chunked gather+FMA."""
+    """out[i] = sum_k w[i,k] * x[idx[i,k]].
+
+    1-D flattened gathers only — 2-D index arrays lower ~20x slower on TPU.
+    Small K unrolls (compile-friendly); large K runs a K-chunked scan.
+    """
     n, k = idx.shape
     f = x.shape[-1]
-    chunk = max(1, min(k, _ELL_CHUNK_BYTES // max(1, 4 * n * f)))
     out_dtype = jnp.promote_types(x.dtype, w.dtype)
-    acc = jnp.zeros((n, f), dtype=out_dtype)
 
+    if k <= _ELL_UNROLL_K:
+        acc = jnp.zeros((n, f), dtype=out_dtype)
+        for j in range(k):
+            acc = acc + w[:, j : j + 1] * jnp.take(x, idx[:, j], axis=0)
+        return acc
+
+    chunk = max(1, min(k, _ELL_CHUNK_BYTES // max(1, 4 * n * f)))
+    acc = jnp.zeros((n, f), dtype=out_dtype)
     num_chunks = (k + chunk - 1) // chunk
     if num_chunks * chunk != k:
         pad = num_chunks * chunk - k
@@ -309,7 +326,7 @@ def _ell_apply(idx: jnp.ndarray, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
     def body(acc, args):
         ic, wc = args  # [N, chunk]
-        gathered = jnp.take(x, ic, axis=0)  # [N, chunk, F]
+        gathered = jnp.take(x, ic.reshape(-1), axis=0).reshape(n, chunk, f)
         acc = acc + jnp.einsum(
             "nc,ncf->nf", wc, gathered, preferred_element_type=out_dtype
         )
