@@ -19,7 +19,7 @@ run the literal 6-propagation dataflow for parity checking.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax

@@ -25,14 +25,12 @@ the range offset.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 @struct.dataclass
