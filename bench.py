@@ -34,16 +34,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_graph_5gram.npz")
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_graph_5gram_v2.npz")
 
 
 def build_or_load_graph(num_seqs: int, seed: int = 0):
-    """Realistic 5-gram propagation matrix (cached)."""
+    """Realistic 5-gram propagation matrix + n-gram node keys (cached)."""
     if os.path.exists(_CACHE):
         with np.load(_CACHE) as z:
-            return z["src"], z["tgt"], z["val"], int(z["n"])
+            keys = (z["pk"], z["sk"], int(z["nk"]))
+            return z["src"], z["tgt"], z["val"], int(z["n"]), keys
     from protgram_directgcn_tpu.graph.builder import NgramGraphBuilder
     from protgram_directgcn_tpu.graph.transforms import csr_to_coo_arrays
+    from protgram_directgcn_tpu.ops.block import ngram_node_keys
 
     rng = np.random.default_rng(seed)
     aa = list("ACDEFGHIKLMNPQRSTVWY")
@@ -64,8 +66,22 @@ def build_or_load_graph(num_seqs: int, seed: int = 0):
     graphs = builder.build_from_sequences(seqs)
     g5 = graphs[4]
     src, tgt, val = csr_to_coo_arrays(g5.mathcal_a_out())
-    np.savez_compressed(_CACHE, src=src, tgt=tgt, val=val, n=np.int64(g5.num_nodes))
-    return src, tgt, val, g5.num_nodes
+    pk, sk, nk = ngram_node_keys(g5.vocab)
+    np.savez_compressed(
+        _CACHE,
+        src=src,
+        tgt=tgt,
+        val=val,
+        n=np.int64(g5.num_nodes),
+        pk=pk.astype(np.int32),
+        sk=sk.astype(np.int32),
+        nk=np.int64(nk),
+    )
+    return src, tgt, val, g5.num_nodes, keys_tuple(pk, sk, nk)
+
+
+def keys_tuple(pk, sk, nk):
+    return (np.asarray(pk), np.asarray(sk), int(nk))
 
 
 def _log(msg):
@@ -111,15 +127,18 @@ def main():
     num_seqs = 30_000 if on_tpu else 500
 
     t0 = time.perf_counter()
-    src, tgt, val, n = build_or_load_graph(num_seqs)
+    src, tgt, val, n, node_keys = build_or_load_graph(num_seqs)
     nnz = len(src)
     _log(f"graph ready: n={n} nnz={nnz} ({time.perf_counter() - t0:.1f}s)")
     # Scale weights to keep the chained iteration numerically bounded.
     val = (val / max(1e-9, float(np.abs(val).max()))).astype(np.float32)
 
-    mode = os.environ.get("BENCH_SPMM_MODE", "bucketed")
+    mode = os.environ.get("BENCH_SPMM_MODE", "auto")
     t0 = time.perf_counter()
-    adj = spmm.build_adjacency(src, tgt, val, n, mode=mode, feat_dim=feat_dim)
+    adj = spmm.build_adjacency(
+        src, tgt, val, n, mode=mode, feat_dim=feat_dim, node_keys=node_keys
+    )
+    _log(f"adjacency format: {type(adj).__name__}")
     jax.block_until_ready(jax.tree_util.tree_leaves(adj))
     _log(f"adjacency built mode={mode} ({time.perf_counter() - t0:.1f}s)")
     x = jax.random.normal(jax.random.PRNGKey(1), (n, feat_dim), dtype=jnp.float32)

@@ -96,10 +96,17 @@ class NgramGraph:
         match exactly (reference: protgram_directgcn_trainer.py:362-367).
         """
         n = self.num_nodes
+        node_keys = None
+        if self.n >= 2 and n:
+            from protgram_directgcn_tpu.ops.block import ngram_node_keys
+
+            node_keys = ngram_node_keys(self.vocab)
 
         def adj_from(m):
             s, t, v = transforms.csr_to_coo_arrays(m)
-            return build_adjacency(s, t, v, n, mode=mode, feat_dim=feat_dim, dtype=dtype)
+            return build_adjacency(
+                s, t, v, n, mode=mode, feat_dim=feat_dim, dtype=dtype, node_keys=node_keys
+            )
 
         return DeviceGraph(
             p_in=adj_from(self.mathcal_a_in()),

@@ -260,9 +260,30 @@ def build_adjacency(
     mode: str = "auto",
     feat_dim: int = 128,
     dtype: jnp.dtype = jnp.float32,
+    node_keys: Optional[Tuple[np.ndarray, np.ndarray, int]] = None,
 ) -> Adjacency:
-    """Build the device adjacency in the requested (or auto-selected) format."""
+    """Build the device adjacency in the requested (or auto-selected) format.
+
+    ``node_keys = (prefix_key, suffix_key, num_keys)`` unlocks the
+    block-structured n-gram format (`ops/block.py`) for square propagation
+    matrices whose pattern factors over (n-1)-gram keys — chosen in auto mode
+    when its random-gather row count beats the edge-gather formats.
+    """
     n_in = n_out if n_in is None else n_in
+    if mode in ("auto", "block") and node_keys is not None and n_out == n_in and len(src):
+        from protgram_directgcn_tpu.ops import block as _block
+
+        pk, sk, num_keys = node_keys
+        counts_s = np.bincount(np.asarray(sk, np.int64), minlength=num_keys)
+        r_est = int(counts_s.max()) if len(counts_s) else 1
+        block_rows = num_keys * r_est + n_out  # random rows per pass
+        worthwhile = block_rows < 0.9 * len(src) and r_est <= 64
+        if mode == "block" or (worthwhile and choose_format(n_out, n_in, len(src), feat_dim) != "dense"):
+            try:
+                return _block.build_block_ngram(src, tgt, w, n_out, pk, sk, num_keys)
+            except _block.BlockStructureError:
+                if mode == "block":
+                    raise
     if mode == "auto":
         mode = choose_format(n_out, n_in, len(src), feat_dim)
         if mode == "ell" and len(tgt):
@@ -435,6 +456,10 @@ def propagate(adj: Adjacency, x: jnp.ndarray, use_pallas: bool = False) -> jnp.n
         )
     if isinstance(adj, CooAdj):
         return _propagate_coo(adj.src, adj.tgt, adj.w, adj.src_t, adj.tgt_t, adj.w_t, adj.n_out, adj.n_in, x)
+    from protgram_directgcn_tpu.ops import block as _block
+
+    if isinstance(adj, _block.BlockNgramAdj):
+        return _block.propagate_block(adj, x)
     # Distributed halo adjacency (imported lazily to avoid a cycle).
     from protgram_directgcn_tpu.parallel import halo as _halo
 
