@@ -91,16 +91,22 @@ def _log(msg):
 def slope_time(fn, args, lens=(2, 10), repeats=2):
     """Per-iteration seconds via scan-length slope (min over repeats, forced
     host fetch).  Falls back to the long run's mean if noise swamps the slope."""
+    def run(f):
+        # Force completion via a DEVICE-side slice then a 4-byte fetch.
+        # (np.asarray(out)[:1] would fetch the full [N, F] array over the
+        # ~30 MB/s tunnel — tens of seconds of pure transfer noise.)
+        return np.asarray(f(*args)[:1, :1])
+
     fns = {length: fn(length) for length in lens}
     for length in lens:
         t0 = time.perf_counter()
-        _ = np.asarray(fns[length](*args))[:1, :1]  # compile + warm
+        _ = run(fns[length])  # compile + warm
         _log(f"compile+first L={length}: {time.perf_counter() - t0:.1f}s")
     best = {length: float("inf") for length in lens}
     for _ in range(repeats):
         for length in lens:
             t0 = time.perf_counter()
-            _ = np.asarray(fns[length](*args))[:1, :1]
+            _ = run(fns[length])
             best[length] = min(best[length], time.perf_counter() - t0)
     _log(f"timings: {best}")
     per = (best[lens[1]] - best[lens[0]]) / (lens[1] - lens[0])
