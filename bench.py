@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_graph_5gram_v2.npz")
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_graph_5gram_v3.npz")
 
 
 def build_or_load_graph(num_seqs: int, seed: int = 0):
@@ -42,10 +42,12 @@ def build_or_load_graph(num_seqs: int, seed: int = 0):
     if os.path.exists(_CACHE):
         with np.load(_CACHE) as z:
             keys = (z["pk"], z["sk"], int(z["nk"]))
-            return z["src"], z["tgt"], z["val"], int(z["n"]), keys
+            codes = (z["codes"], int(z["alpha"]))
+            return z["src"], z["tgt"], z["val"], int(z["n"]), keys, codes
     from protgram_directgcn_tpu.graph.builder import NgramGraphBuilder
     from protgram_directgcn_tpu.graph.transforms import csr_to_coo_arrays
     from protgram_directgcn_tpu.ops.block import ngram_node_keys
+    from protgram_directgcn_tpu.ops.hypercube import vocab_char_codes
 
     rng = np.random.default_rng(seed)
     aa = list("ACDEFGHIKLMNPQRSTVWY")
@@ -67,6 +69,7 @@ def build_or_load_graph(num_seqs: int, seed: int = 0):
     g5 = graphs[4]
     src, tgt, val = csr_to_coo_arrays(g5.mathcal_a_out())
     pk, sk, nk = ngram_node_keys(g5.vocab)
+    codes, alpha = vocab_char_codes(g5.vocab)
     np.savez_compressed(
         _CACHE,
         src=src,
@@ -76,8 +79,10 @@ def build_or_load_graph(num_seqs: int, seed: int = 0):
         pk=pk.astype(np.int32),
         sk=sk.astype(np.int32),
         nk=np.int64(nk),
+        codes=codes.astype(np.int8),
+        alpha=np.int64(alpha),
     )
-    return src, tgt, val, g5.num_nodes, keys_tuple(pk, sk, nk)
+    return src, tgt, val, g5.num_nodes, keys_tuple(pk, sk, nk), (codes, alpha)
 
 
 def keys_tuple(pk, sk, nk):
@@ -133,7 +138,7 @@ def main():
     num_seqs = 30_000 if on_tpu else 500
 
     t0 = time.perf_counter()
-    src, tgt, val, n, node_keys = build_or_load_graph(num_seqs)
+    src, tgt, val, n, node_keys, vocab_codes = build_or_load_graph(num_seqs)
     nnz = len(src)
     _log(f"graph ready: n={n} nnz={nnz} ({time.perf_counter() - t0:.1f}s)")
     # Scale weights to keep the chained iteration numerically bounded.
@@ -142,12 +147,21 @@ def main():
     mode = os.environ.get("BENCH_SPMM_MODE", "auto")
     t0 = time.perf_counter()
     adj = spmm.build_adjacency(
-        src, tgt, val, n, mode=mode, feat_dim=feat_dim, node_keys=node_keys
+        src,
+        tgt,
+        val,
+        n,
+        mode=mode,
+        feat_dim=feat_dim,
+        node_keys=node_keys,
+        vocab_codes=(np.asarray(vocab_codes[0], np.int64), int(vocab_codes[1])),
     )
     _log(f"adjacency format: {type(adj).__name__}")
     jax.block_until_ready(jax.tree_util.tree_leaves(adj))
     _log(f"adjacency built mode={mode} ({time.perf_counter() - t0:.1f}s)")
-    x = jax.random.normal(jax.random.PRNGKey(1), (n, feat_dim), dtype=jnp.float32)
+    # The format defines its node space (the hypercube format pads to A^n).
+    rows = getattr(adj, "n_out", n)
+    x = jax.random.normal(jax.random.PRNGKey(1), (rows, feat_dim), dtype=jnp.float32)
 
     def make_loop(length):
         @jax.jit

@@ -30,12 +30,19 @@ from protgram_directgcn_tpu.ops.spmm import Adjacency, build_adjacency
 
 @struct.dataclass
 class DeviceGraph:
-    """Device-resident propagation operators for one n-gram level."""
+    """Device-resident propagation operators for one n-gram level.
+
+    ``num_nodes`` is the node space the operators act on.  For the hypercube
+    format (`ops/hypercube.py`) that space is the padded character hypercube
+    [alphabet^n]; ``node_map`` then holds the device id of each real node
+    (None for formats operating directly on real ids).
+    """
 
     p_in: Adjacency  # from 𝒜_in  (built from A_in_w = A_out_wᵀ)
     p_out: Adjacency  # from 𝒜_out (built from A_out_w)
     p_und: Adjacency  # undirected sym-norm matrix
     num_nodes: int = struct.field(pytree_node=False, default=0)
+    node_map: Optional[jnp.ndarray] = None  # [N_real] int32 device id per real node
 
 
 @dataclasses.dataclass
@@ -96,6 +103,29 @@ class NgramGraph:
         match exactly (reference: protgram_directgcn_trainer.py:362-367).
         """
         n = self.num_nodes
+        if mode == "hypercube":
+            # Gather-free padded node space [alphabet^n]; the returned graph's
+            # num_nodes is the hypercube size and node_map holds real ids.
+            from protgram_directgcn_tpu.ops.hypercube import (
+                build_hypercube,
+                vocab_char_codes,
+            )
+
+            codes, alpha = vocab_char_codes(self.vocab)
+
+            def hyper_from(m):
+                s, t, v = transforms.csr_to_coo_arrays(m)
+                return build_hypercube(s, t, v, codes, alpha)
+
+            p_in = hyper_from(self.mathcal_a_in())
+            return DeviceGraph(
+                p_in=p_in,
+                p_out=hyper_from(self.mathcal_a_out()),
+                p_und=hyper_from(self.undirected_norm()),
+                num_nodes=p_in.n_out,
+                node_map=p_in.node_map,
+            )
+
         node_keys = None
         if self.n >= 2 and n:
             from protgram_directgcn_tpu.ops.block import ngram_node_keys

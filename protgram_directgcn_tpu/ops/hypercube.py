@@ -1,0 +1,226 @@
+"""Hypercube-factorized SpMM for n-gram propagation matrices (gather-free).
+
+The block format (`ops/block.py`) already factors any n-gram propagation
+matrix ``M`` (pattern contained in union(A, Aᵀ, I), which holds for 𝒜_out,
+𝒜_in and the undirected sym-norm matrix — reference: graph_utils.py:198-287)
+into per-(n-1)-gram-key dense blocks, but still pays two *random* HBM gathers
+per pass (suffix-grouped inputs and outputs).  This format removes them
+entirely by choosing the node id space to be the **full character hypercube**:
+
+    node id of n-gram (c_1 .. c_n)  :=  sum_i code(c_i) * A^(n-i)
+
+With positional ids, the prefix key and the suffix key of a node are integer
+div/mod of its id (``id // A`` and ``id % A^(n-1)``), so the two grouped
+layouts the block contraction needs are plain *reshapes* of the feature array:
+
+    prefix layout  x[key, last_char]   = x.reshape(G, A, F)       (free view)
+    suffix layout  x[first_char, key]  = x.reshape(A, G, F)       (free view)
+
+and one propagation becomes
+
+    out = d * x                                  (diagonal)
+        + einsum('gcr,rgf->gcf', Wf, x_view)     (A  pattern, out in node order)
+        + einsum('grc,gcf->rgf', Wb, x_view)     (Aᵀ pattern, out in node order)
+
+— two batched [A x A] x [A x F] MXU contractions over G = A^(n-1) keys plus
+regular (tileable) relayouts.  **Zero random gathers**: every byte moves at
+streaming/transpose rate instead of the random-row gather rate that bounds
+ELL/COO/block SpMM on this hardware (no SparseCore; see CLAUDE.md).  The
+transpose pass reuses the same blocks with swapped roles (Mᵀ: Wf <-> Wbᵀ),
+so the backward needs no second copy.
+
+The price is padding the node space from |vocab| to A^n (absent n-grams are
+zero rows that never receive contributions).  For protein n-gram graphs the
+vocabulary saturates the hypercube quickly (5-gram Swiss-Prot scale: ~60%+
+dense), so the 1/density traffic overhead is far cheaper than random gathers.
+Builders refuse (BlockStructureError) when the hypercube would be too sparse
+or too large, letting `build_adjacency(mode="auto")` fall back.
+
+reference: graph_utils.py:198-287 (propagation matrices this format carries),
+data_builder.py:45-54 (edges connect overlapping n-grams, which is what makes
+every off-diagonal entry fit the A or Aᵀ key pattern).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from protgram_directgcn_tpu.ops.block import BlockStructureError
+
+
+@struct.dataclass
+class HypercubeAdj:
+    """Positional-id factorisation of an n-gram propagation matrix.
+
+    Operates on the hypercube node space [A^n] (``n_out == A**n``); real
+    nodes live at ``node_map`` positions, absent ids are zero rows/columns.
+    """
+
+    d: jnp.ndarray  # [A^n] f32 diagonal
+    wf: jnp.ndarray  # [G, A, A] f32: (key, out last-char, in first-char), A pattern
+    wb: jnp.ndarray  # [G, A, A] f32: (key, out first-char, in last-char), Aᵀ pattern
+    node_map: jnp.ndarray  # [N_real] int32 hypercube id per real node
+
+    @property
+    def n_out(self) -> int:
+        return self.d.shape[0]
+
+    @property
+    def alphabet(self) -> int:
+        return self.wf.shape[1]
+
+
+def vocab_char_codes(vocab: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Per-node character codes [N, n] over the sorted alphabet of ``vocab``."""
+    vocab = np.asarray(vocab)
+    n_nodes = len(vocab)
+    if n_nodes == 0:
+        return np.zeros((0, 1), np.int64), 0
+    n = len(str(vocab[0]))
+    chars = vocab.astype(f"U{n}").view("U1").reshape(n_nodes, n)
+    alphabet, flat = np.unique(chars, return_inverse=True)
+    return flat.reshape(n_nodes, n).astype(np.int64), int(len(alphabet))
+
+
+def build_hypercube(
+    src: np.ndarray,
+    tgt: np.ndarray,
+    val: np.ndarray,
+    codes: np.ndarray,
+    alphabet_size: int,
+    max_block_bytes: int = 2 << 30,
+) -> HypercubeAdj:
+    """Factor a coalesced COO matrix over positional hypercube ids.
+
+    ``codes[u]`` are the alphabet indices of node u's characters.  Raises
+    BlockStructureError when an off-diagonal edge fits neither key pattern,
+    when n < 2 (1-grams have no key structure — use the dense format), or
+    when the hypercube blocks would exceed ``max_block_bytes``.
+    """
+    codes = np.asarray(codes, np.int64)
+    n_real, n = codes.shape
+    a = int(alphabet_size)
+    if n < 2:
+        raise BlockStructureError("hypercube format needs n >= 2")
+    g = a ** (n - 1)
+    n_hyper = a**n
+    if 2 * g * a * a * 4 > max_block_bytes:
+        raise BlockStructureError(
+            f"hypercube blocks would need {2 * g * a * a * 4} bytes"
+        )
+
+    pows = a ** np.arange(n - 1, -1, -1, dtype=np.int64)
+    hyper = codes @ pows  # [N_real] positional id
+    src = np.asarray(src, np.int64)
+    tgt = np.asarray(tgt, np.int64)
+    val = np.asarray(val, np.float32)
+
+    pk = hyper // a  # prefix key = chars 1..n-1 positional code
+    sk = hyper % g  # suffix key = chars 2..n positional code
+    first = codes[:, 0]
+    last = codes[:, -1]
+
+    diag = src == tgt
+    d = np.zeros(n_hyper, np.float32)
+    np.add.at(d, hyper[src[diag]], val[diag])
+
+    off = ~diag
+    s, t, v = src[off], tgt[off], val[off]
+    fwd = sk[s] == pk[t]
+    bwd = ~fwd & (pk[s] == sk[t])
+    leftover = int((~fwd & ~bwd).sum())
+    if leftover:
+        raise BlockStructureError(
+            f"{leftover} edges fit neither the A nor the Aᵀ n-gram pattern"
+        )
+
+    sf, tf, vf = s[fwd], t[fwd], v[fwd]
+    sb, tb, vb = s[bwd], t[bwd], v[bwd]
+    # Ship COO to the device and scatter there: the flat block tables are
+    # G*A*A floats (hundreds of MB at 5-gram scale) while the COO triplets
+    # are ~8 bytes/edge — a big win over the ~8 MB/s host->device tunnel.
+    flat_f = (sk[sf] * a + last[tf]) * a + first[sf]
+    flat_b = (pk[sb] * a + first[tb]) * a + last[sb]
+    wf = (
+        jnp.zeros(g * a * a, jnp.float32)
+        .at[jnp.asarray(flat_f, jnp.int32)]
+        .add(jnp.asarray(vf))
+        .reshape(g, a, a)
+    )
+    wb = (
+        jnp.zeros(g * a * a, jnp.float32)
+        .at[jnp.asarray(flat_b, jnp.int32)]
+        .add(jnp.asarray(vb))
+        .reshape(g, a, a)
+    )
+    return HypercubeAdj(
+        d=jnp.asarray(d),
+        wf=wf,
+        wb=wb,
+        node_map=jnp.asarray(hyper.astype(np.int32)),
+    )
+
+
+def embed_features(adj: HypercubeAdj, x_real: jnp.ndarray) -> jnp.ndarray:
+    """Scatter real-node features into the hypercube layout (absent ids = 0)."""
+    out = jnp.zeros((adj.n_out,) + x_real.shape[1:], x_real.dtype)
+    return out.at[adj.node_map].set(x_real)
+
+
+def extract_features(adj: HypercubeAdj, x_hyper: jnp.ndarray) -> jnp.ndarray:
+    """Gather real-node rows back out of the hypercube layout."""
+    return jnp.take(x_hyper, adj.node_map, axis=0)
+
+
+# -----------------------------------------------------------------------------
+# Propagation
+# -----------------------------------------------------------------------------
+
+
+def _einsum(spec, a, b):
+    # f32 blocks demand full-precision MXU passes (TPU matmul defaults bf16).
+    prec = "highest" if a.dtype == jnp.float32 else "default"
+    return jnp.einsum(spec, a, b, precision=prec, preferred_element_type=jnp.float32)
+
+
+def _hyper_apply(d, wf, wb, x, transpose=False):
+    n_hyper, f = x.shape
+    g, a, _ = wf.shape
+    x_rg = x.reshape(a, g, f)  # [first char, suffix key, F]  (free view)
+    x_gc = x.reshape(g, a, f)  # [prefix key, last char, F]   (free view)
+    if not transpose:
+        y1 = _einsum("gcr,rgf->gcf", wf, x_rg)  # A  pattern -> node order (k, c)
+        y2 = _einsum("grc,gcf->rgf", wb, x_gc)  # Aᵀ pattern -> node order (r, k)
+    else:
+        # Mᵀ swaps the roles: Wf drives the Aᵀ-shaped term and vice versa.
+        y1 = _einsum("grc,rgf->gcf", wb, x_rg)
+        y2 = _einsum("gcr,gcf->rgf", wf, x_gc)
+    return d[:, None] * x + y1.reshape(n_hyper, f) + y2.reshape(n_hyper, f)
+
+
+@jax.custom_vjp
+def _propagate_hyper(d, wf, wb, x):
+    return _hyper_apply(d, wf, wb, x)
+
+
+def _propagate_hyper_fwd(d, wf, wb, x):
+    return _hyper_apply(d, wf, wb, x), (d, wf, wb)
+
+
+def _propagate_hyper_bwd(res, grad):
+    d, wf, wb = res
+    dx = _hyper_apply(d, wf, wb, grad, transpose=True)
+    return (jnp.zeros_like(d), jnp.zeros_like(wf), jnp.zeros_like(wb), dx)
+
+
+_propagate_hyper.defvjp(_propagate_hyper_fwd, _propagate_hyper_bwd)
+
+
+def propagate_hyper(adj: HypercubeAdj, x: jnp.ndarray) -> jnp.ndarray:
+    """out[i] = sum over edges (j -> i) of w * x[j], both in hypercube ids."""
+    return _propagate_hyper(adj.d, adj.wf, adj.wb, x)

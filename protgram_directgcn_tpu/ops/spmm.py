@@ -261,6 +261,7 @@ def build_adjacency(
     feat_dim: int = 128,
     dtype: jnp.dtype = jnp.float32,
     node_keys: Optional[Tuple[np.ndarray, np.ndarray, int]] = None,
+    vocab_codes: Optional[Tuple[np.ndarray, int]] = None,
 ) -> Adjacency:
     """Build the device adjacency in the requested (or auto-selected) format.
 
@@ -268,8 +269,31 @@ def build_adjacency(
     block-structured n-gram format (`ops/block.py`) for square propagation
     matrices whose pattern factors over (n-1)-gram keys — chosen in auto mode
     when its random-gather row count beats the edge-gather formats.
+
+    ``vocab_codes = (codes [N, n], alphabet_size)`` additionally unlocks the
+    gather-free hypercube format (`ops/hypercube.py`).  NOTE: that format
+    changes the propagation node space to [alphabet^n] (see its ``n_out``) —
+    callers must size features accordingly, so it is only chosen when
+    ``vocab_codes`` is passed explicitly.
     """
     n_in = n_out if n_in is None else n_in
+    if mode in ("auto", "hypercube") and vocab_codes is not None and n_out == n_in:
+        from protgram_directgcn_tpu.ops import hypercube as _hyper
+
+        codes, alpha = vocab_codes
+        n_chars = codes.shape[1] if getattr(codes, "ndim", 0) == 2 else 0
+        n_hyper = alpha**n_chars if n_chars else 0
+        # Worthwhile whenever the padded node space stays within a small
+        # multiple of the real one: gather-free streaming beats random
+        # gathers until padding dilutes the streams by ~the gather/stream
+        # bandwidth ratio (~4-6x on this part).
+        dense_enough = 0 < n_hyper <= 4 * max(n_out, 1)
+        if mode == "hypercube" or dense_enough:
+            try:
+                return _hyper.build_hypercube(src, tgt, w, codes, alpha)
+            except Exception:
+                if mode == "hypercube":
+                    raise
     if mode in ("auto", "block") and node_keys is not None and n_out == n_in and len(src):
         from protgram_directgcn_tpu.ops import block as _block
 
@@ -460,6 +484,10 @@ def propagate(adj: Adjacency, x: jnp.ndarray, use_pallas: bool = False) -> jnp.n
 
     if isinstance(adj, _block.BlockNgramAdj):
         return _block.propagate_block(adj, x)
+    from protgram_directgcn_tpu.ops import hypercube as _hyper
+
+    if isinstance(adj, _hyper.HypercubeAdj):
+        return _hyper.propagate_hyper(adj, x)
     # Distributed halo adjacency (imported lazily to avoid a cycle).
     from protgram_directgcn_tpu.parallel import halo as _halo
 

@@ -130,6 +130,12 @@ def make_train_step(model_cfg: DirectGCNConfig, opt: optax.GradientTransformatio
     return step
 
 
+# Auto-select the gather-free hypercube SpMM format when the padded node
+# space [alphabet^n] stays within this multiple of the real vocabulary
+# (see ops/hypercube.py for the bandwidth model behind the threshold).
+_HYPERCUBE_MAX_RATIO = 4.0
+
+
 @dataclass
 class ClusterBatch:
     graph: DeviceGraph
@@ -186,8 +192,36 @@ class HierarchicalTrainer:
 
     # ------------------------------------------------------------------
 
+    def _to_device_graph(self, graph: NgramGraph, feat_dim: int) -> DeviceGraph:
+        """Materialise the level's propagation operators, preferring the
+        gather-free hypercube format when the padded space is dense enough."""
+        gcn = self.gcn
+        mode = gcn.spmm_mode if gcn.spmm_mode != "pallas" else "ell"
+        if graph.n >= 2 and graph.num_nodes and mode in ("auto", "hypercube"):
+            want = mode == "hypercube"
+            if not want:
+                from protgram_directgcn_tpu.ops.hypercube import vocab_char_codes
+
+                _, alpha = vocab_char_codes(graph.vocab)
+                n_hyper = alpha**graph.n
+                want = 0 < n_hyper <= _HYPERCUBE_MAX_RATIO * graph.num_nodes
+            if want:
+                try:
+                    return graph.to_device(mode="hypercube", feat_dim=feat_dim)
+                except Exception as exc:  # falls back to generic formats
+                    if mode == "hypercube":
+                        raise
+                    logger.info("hypercube format unavailable (%s); falling back", exc)
+        # 1-gram levels have no key structure — generic formats handle them.
+        return graph.to_device(mode="auto" if mode == "hypercube" else mode, feat_dim=feat_dim)
+
     def _make_cluster_batches(
-        self, graph: NgramGraph, x: np.ndarray, y: np.ndarray, seed: int
+        self,
+        graph: NgramGraph,
+        x: np.ndarray,
+        y: np.ndarray,
+        seed: int,
+        node_map: Optional[np.ndarray] = None,
     ) -> List[ClusterBatch]:
         """Partition into Cluster-GCN subgraph batches padded to one common
         node budget (reference: protgram_directgcn_trainer.py:152-198)."""
@@ -232,7 +266,9 @@ class HierarchicalTrainer:
             mask = np.zeros(budget, dtype=np.float32)
             mask[: len(nodes)] = 1.0
             orig = np.zeros(budget, dtype=np.int32)
-            orig[: len(nodes)] = nodes
+            # Per-node params live in the device graph's node space; map
+            # cluster members through node_map when it differs from real ids.
+            orig[: len(nodes)] = nodes if node_map is None else node_map[nodes]
             batches.append(
                 ClusterBatch(
                     graph=dg,
@@ -257,9 +293,20 @@ class HierarchicalTrainer:
         feat_dim = x_np.shape[1]
         layer_dims = tuple([feat_dim] + list(gcn.hidden_layer_dims))
         use_pallas = gcn.spmm_mode == "pallas"
+        full_graph = self._to_device_graph(graph, max(layer_dims))
+        node_map = None if full_graph.node_map is None else np.asarray(full_graph.node_map)
+
+        def pad_nodes(arr: np.ndarray) -> np.ndarray:
+            """Scatter real-node rows into the device graph's node space."""
+            if node_map is None:
+                return arr
+            out = np.zeros((full_graph.num_nodes,) + arr.shape[1:], dtype=arr.dtype)
+            out[node_map] = arr
+            return out
+
         model_cfg = DirectGCNConfig(
             layer_dims=layer_dims,
-            num_nodes=graph.num_nodes,
+            num_nodes=full_graph.num_nodes,
             num_classes=num_classes,
             n_gram_len=n_val,
             one_gram_dim=(gcn.one_gram_init_dim if n_val == 1 else 0),
@@ -280,15 +327,15 @@ class HierarchicalTrainer:
         stopper = EarlyStopper(gcn.early_stopping_patience, gcn.early_stopping_min_delta) if gcn.use_early_stopping else None
 
         rng = jax.random.PRNGKey(self.config.random_state * 7919 + n_val)
-        mode = gcn.spmm_mode if gcn.spmm_mode != "pallas" else "ell"
-        full_graph = graph.to_device(mode=mode, feat_dim=max(layer_dims))
 
         use_cluster = (
             gcn.use_cluster_training and graph.num_nodes > gcn.cluster_training_threshold_nodes
         )
         t0 = time.monotonic()
         if use_cluster:
-            batches = self._make_cluster_batches(graph, x_np, y_np, self.config.random_state)
+            batches = self._make_cluster_batches(
+                graph, x_np, y_np, self.config.random_state, node_map=node_map
+            )
             shuffle_rng = np.random.default_rng(self.config.random_state + n_val)
             epochs_run = 0
             for epoch in range(1, gcn.epochs_per_level + 1):
@@ -312,9 +359,9 @@ class HierarchicalTrainer:
             logger.info("clustered training: %d epochs over %d clusters in %.1fs",
                         epochs_run, len(batches), time.monotonic() - t0)
         else:
-            x = jnp.asarray(x_np)
-            y = jnp.asarray(y_np.astype(np.int32))
-            mask = jnp.ones(graph.num_nodes, dtype=jnp.float32)
+            x = jnp.asarray(pad_nodes(x_np))
+            y = jnp.asarray(pad_nodes(y_np.astype(np.int32)))
+            mask = jnp.asarray(pad_nodes(np.ones(graph.num_nodes, dtype=np.float32)))
             start_epoch = 1
             if ckpt_dir is not None and gcn.checkpoint_every_epochs > 0:
                 from protgram_directgcn_tpu.utils import checkpoint as ckpt
@@ -356,8 +403,11 @@ class HierarchicalTrainer:
         # (reference: models_utils.py:264-273).  Graph passed as a jit
         # argument — not a closure — to keep remote compiles small.
         eval_fn = jax.jit(lambda p, g, xv: directgcn_apply(p, g, xv, model_cfg, train=False))
-        _, embeds = eval_fn(params, full_graph, jnp.asarray(x_np))
-        return params, np.asarray(embeds), model_cfg, full_graph
+        _, embeds = eval_fn(params, full_graph, jnp.asarray(pad_nodes(x_np)))
+        embeds = np.asarray(embeds)
+        if node_map is not None:
+            embeds = embeds[node_map]
+        return params, embeds, model_cfg, full_graph
 
     # ------------------------------------------------------------------
 

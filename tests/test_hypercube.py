@@ -1,0 +1,115 @@
+"""Hypercube SpMM: oracle parity, gradients, embedding round-trip, selection.
+
+The hypercube factorisation must reproduce exactly the same propagation as
+the generic formats on all three DirectGCN matrices (𝒜_out, 𝒜_in, undirected
+sym-norm — reference: graph_utils.py:198-287) after embedding features at
+positional hypercube ids."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from protgram_directgcn_tpu.graph.builder import NgramGraphBuilder
+from protgram_directgcn_tpu.graph import transforms
+from protgram_directgcn_tpu.ops import hypercube, spmm
+from tests.conftest import random_graph_arrays
+
+
+@pytest.fixture(scope="module")
+def trigram_graph():
+    seqs = [
+        ("P1", "MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ"),
+        ("P2", "MKLVTAYIAKQRRQISFVK"),
+        ("P3", "GLIEVQAPILSRVGDGTQDNLSGAEKAVQ"),
+    ]
+    graphs = NgramGraphBuilder(n_max=3).build_from_sequences(seqs)
+    return graphs[2]
+
+
+def _dense_oracle(src, tgt, w, n, x):
+    at = np.zeros((n, n), dtype=np.float64)
+    np.add.at(at, (tgt, src), w)
+    return at @ x
+
+
+@pytest.mark.parametrize("matrix", ["mathcal_a_out", "mathcal_a_in", "undirected_norm"])
+def test_hypercube_matches_oracle_on_ngram_matrices(trigram_graph, matrix):
+    g = trigram_graph
+    src, tgt, val = transforms.csr_to_coo_arrays(getattr(g, matrix)())
+    codes, alpha = hypercube.vocab_char_codes(g.vocab)
+    adj = hypercube.build_hypercube(src, tgt, val, codes, alpha)
+    assert adj.n_out == alpha ** codes.shape[1]
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(g.num_nodes, 16)).astype(np.float32)
+    xh = hypercube.embed_features(adj, jnp.asarray(x))
+    out = np.asarray(hypercube.extract_features(adj, spmm.propagate(adj, xh)))
+    np.testing.assert_allclose(
+        out, _dense_oracle(src, tgt, val, g.num_nodes, x), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_hypercube_absent_ids_receive_nothing(trigram_graph):
+    g = trigram_graph
+    src, tgt, val = transforms.csr_to_coo_arrays(g.mathcal_a_out())
+    codes, alpha = hypercube.vocab_char_codes(g.vocab)
+    adj = hypercube.build_hypercube(src, tgt, val, codes, alpha)
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(g.num_nodes, 8)).astype(np.float32)
+    )
+    out = np.asarray(spmm.propagate(adj, hypercube.embed_features(adj, x)))
+    mask = np.ones(adj.n_out, bool)
+    mask[np.asarray(adj.node_map)] = False
+    assert np.abs(out[mask]).max() == 0.0
+
+
+def test_hypercube_gradients_match_transpose(trigram_graph):
+    g = trigram_graph
+    src, tgt, val = transforms.csr_to_coo_arrays(g.mathcal_a_out())
+    codes, alpha = hypercube.vocab_char_codes(g.vocab)
+    adj = hypercube.build_hypercube(src, tgt, val, codes, alpha)
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(g.num_nodes, 16)).astype(np.float32)
+    grad_out = rng.normal(size=(g.num_nodes, 16)).astype(np.float32)
+
+    def loss(xv):
+        xh = hypercube.embed_features(adj, xv)
+        prop = hypercube.extract_features(adj, spmm.propagate(adj, xh))
+        return jnp.sum(prop * jnp.asarray(grad_out))
+
+    dx = np.asarray(jax.grad(loss)(jnp.asarray(x)))
+    at = np.zeros((g.num_nodes, g.num_nodes))
+    np.add.at(at, (tgt, src), val)
+    np.testing.assert_allclose(dx, at.T @ grad_out, rtol=1e-4, atol=1e-5)
+
+
+def test_build_adjacency_selects_hypercube_with_codes(trigram_graph):
+    g = trigram_graph
+    src, tgt, val = transforms.csr_to_coo_arrays(g.mathcal_a_out())
+    codes, alpha = hypercube.vocab_char_codes(g.vocab)
+    # Auto mode picks the hypercube only when the padded space is dense
+    # enough; the tiny test vocab is sparse in alphabet^3, so force it.
+    adj = spmm.build_adjacency(
+        src, tgt, val, g.num_nodes, mode="hypercube", vocab_codes=(codes, alpha)
+    )
+    assert isinstance(adj, hypercube.HypercubeAdj)
+    # Auto mode with a sparse hypercube must fall back to a generic format.
+    auto = spmm.build_adjacency(
+        src, tgt, val, g.num_nodes, mode="auto", vocab_codes=(codes, alpha)
+    )
+    dense_enough = alpha ** codes.shape[1] <= 4 * g.num_nodes
+    assert isinstance(auto, hypercube.HypercubeAdj) == dense_enough
+
+
+def test_hypercube_rejects_unstructured_graph(rng):
+    n = 27
+    src, tgt, w = random_graph_arrays(rng, n=n, e=200)
+    vocab = np.sort(np.array([f"{a}{b}{c}" for a in "abc" for b in "abc" for c in "abc"]))
+    codes, alpha = hypercube.vocab_char_codes(vocab)
+    with pytest.raises(Exception):
+        hypercube.build_hypercube(src, tgt, w, codes, alpha)
+    # 1-grams have no key structure.
+    with pytest.raises(Exception):
+        hypercube.build_hypercube(
+            np.array([0]), np.array([1]), np.array([1.0]), codes[:, :1], alpha
+        )

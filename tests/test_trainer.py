@@ -123,3 +123,47 @@ def test_trainer_loss_decreases(built_graphs, tmp_path, toy_fasta):
     assert embeds.shape == (g.num_nodes, cfg.gcn.hidden_layer_dims[-1])
     norms = np.linalg.norm(embeds, axis=1)
     np.testing.assert_allclose(norms, np.ones_like(norms), rtol=1e-3)
+
+
+def test_trainer_hypercube_mode(built_graphs, tmp_path, toy_fasta):
+    """Forced hypercube SpMM trains a level and yields real-node embeddings
+    identical in shape/normalisation to the generic formats."""
+    from protgram_directgcn_tpu.graph.structure import load_graph
+    from protgram_directgcn_tpu.ops.hypercube import HypercubeAdj
+    from protgram_directgcn_tpu.pipeline.labels import generate_labels
+
+    cfg = small_config(tmp_path, spmm_mode="hypercube", epochs_per_level=30,
+                       use_early_stopping=False, use_lr_scheduler=False)
+    trainer = HierarchicalTrainer(cfg)
+    g = load_graph(built_graphs / "ngram_graph_n2.npz")
+    dg = trainer._to_device_graph(g, 16)
+    assert isinstance(dg.p_out, HypercubeAdj)
+    assert dg.num_nodes > g.num_nodes  # padded hypercube space
+    assert dg.node_map is not None and dg.node_map.shape == (g.num_nodes,)
+
+    x = trainer._initial_features(g, None, None, 0)[:, :16]
+    y, nc = generate_labels(g, "next_node", seed=0)
+    params, embeds, model_cfg, _ = trainer.train_level(g, x, y, nc)
+    assert model_cfg.num_nodes == dg.num_nodes
+    assert embeds.shape == (g.num_nodes, cfg.gcn.hidden_layer_dims[-1])
+    norms = np.linalg.norm(embeds, axis=1)
+    np.testing.assert_allclose(norms, np.ones_like(norms), rtol=1e-3)
+
+
+def test_trainer_hypercube_clustered(built_graphs, tmp_path, toy_fasta):
+    """Cluster-GCN batching maps original_indices through the hypercube
+    node_map so per-node params are gathered at device ids."""
+    cfg = small_config(
+        tmp_path,
+        spmm_mode="hypercube",
+        use_cluster_training=True,
+        cluster_training_threshold_nodes=5,
+        target_nodes_per_cluster=10,
+        min_clusters=2,
+        epochs_per_level=4,
+    )
+    trainer = HierarchicalTrainer(cfg)
+    h5_path = trainer.run(
+        fasta_path=toy_fasta, graphs_dir=built_graphs, output_dir=tmp_path / "embh"
+    )
+    assert h5_path is not None and os.path.exists(h5_path)
