@@ -19,15 +19,24 @@ layouts the block contraction needs are plain *reshapes* of the feature array:
 and one propagation becomes
 
     out = d * x                                  (diagonal)
-        + einsum('gcr,rgf->gcf', Wf, x_view)     (A  pattern, out in node order)
-        + einsum('grc,gcf->rgf', Wb, x_view)     (Aᵀ pattern, out in node order)
+        + sum_r wf[r,g,c] * x[r,g,f]             (A  pattern, out at (g,c))
+        + sum_c wb[r,g,c] * x[g,c,f]             (Aᵀ pattern, out at (r,g))
 
-— two batched [A x A] x [A x F] MXU contractions over G = A^(n-1) keys plus
-regular (tileable) relayouts.  **Zero random gathers**: every byte moves at
+— per-key [A x A] block contractions over G = A^(n-1) keys plus regular
+(tileable) relayouts.  **Zero random gathers**: every byte moves at
 streaming/transpose rate instead of the random-row gather rate that bounds
-ELL/COO/block SpMM on this hardware (no SparseCore; see CLAUDE.md).  The
-transpose pass reuses the same blocks with swapped roles (Mᵀ: Wf <-> Wbᵀ),
-so the backward needs no second copy.
+ELL/COO/block SpMM on this hardware (no SparseCore; see CLAUDE.md).
+
+Weight banks are stored ``[A, G, A]``:
+
+    wf[r, g, c] = weight of edge (r·G + g)  ->  (g·A + c)      (A  pattern)
+    wb[r, g, c] = weight of edge (g·A + c)  ->  (r·G + g)      (Aᵀ pattern)
+
+so the transpose product Mᵀx — the backward pass — is the SAME computation
+with the two banks swapped: under Mᵀ, each A-pattern edge becomes an
+Aᵀ-pattern edge with identical (r, g, c) coordinates and vice versa.  On TPU
+the product runs as two fused Pallas sweeps (`ops/pallas_hyper.py`); off-TPU
+an XLA einsum fallback computes the same contraction.
 
 The price is padding the node space from |vocab| to A^n (absent n-grams are
 zero rows that never receive contributions).  For protein n-gram graphs the
@@ -43,7 +52,8 @@ every off-diagonal entry fit the A or Aᵀ key pattern).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import os
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,18 +71,18 @@ class HypercubeAdj:
     nodes live at ``node_map`` positions, absent ids are zero rows/columns.
     """
 
-    d: jnp.ndarray  # [A^n] f32 diagonal
-    wf: jnp.ndarray  # [G, A, A] f32: (key, out last-char, in first-char), A pattern
-    wb: jnp.ndarray  # [G, A, A] f32: (key, out first-char, in last-char), Aᵀ pattern
+    d: jnp.ndarray  # [G, A] f32 diagonal (flat over node id g*A + c)
+    wf: jnp.ndarray  # [A, G, A]: wf[r, g, c] = w(edge r·G+g -> g·A+c)
+    wb: jnp.ndarray  # [A, G, A]: wb[r, g, c] = w(edge g·A+c -> r·G+g)
     node_map: jnp.ndarray  # [N_real] int32 hypercube id per real node
 
     @property
     def n_out(self) -> int:
-        return self.d.shape[0]
+        return self.d.shape[0] * self.d.shape[1]
 
     @property
     def alphabet(self) -> int:
-        return self.wf.shape[1]
+        return self.wf.shape[0]
 
 
 def vocab_char_codes(vocab: np.ndarray) -> Tuple[np.ndarray, int]:
@@ -94,6 +104,7 @@ def build_hypercube(
     codes: np.ndarray,
     alphabet_size: int,
     max_block_bytes: int = 2 << 30,
+    weights_dtype: jnp.dtype = jnp.float32,
 ) -> HypercubeAdj:
     """Factor a coalesced COO matrix over positional hypercube ids.
 
@@ -101,6 +112,9 @@ def build_hypercube(
     BlockStructureError when an off-diagonal edge fits neither key pattern,
     when n < 2 (1-grams have no key structure — use the dense format), or
     when the hypercube blocks would exceed ``max_block_bytes``.
+
+    ``weights_dtype=bfloat16`` halves the HBM traffic of the weight banks
+    (f32 accumulation regardless); the diagonal stays f32.
     """
     codes = np.asarray(codes, np.int64)
     n_real, n = codes.shape
@@ -142,26 +156,25 @@ def build_hypercube(
     sf, tf, vf = s[fwd], t[fwd], v[fwd]
     sb, tb, vb = s[bwd], t[bwd], v[bwd]
     # Ship COO to the device and scatter there: the flat block tables are
-    # G*A*A floats (hundreds of MB at 5-gram scale) while the COO triplets
+    # A*G*A floats (hundreds of MB at 5-gram scale) while the COO triplets
     # are ~8 bytes/edge — a big win over the ~8 MB/s host->device tunnel.
-    flat_f = (sk[sf] * a + last[tf]) * a + first[sf]
-    flat_b = (pk[sb] * a + first[tb]) * a + last[sb]
-    wf = (
-        jnp.zeros(g * a * a, jnp.float32)
-        .at[jnp.asarray(flat_f, jnp.int32)]
-        .add(jnp.asarray(vf))
-        .reshape(g, a, a)
-    )
-    wb = (
-        jnp.zeros(g * a * a, jnp.float32)
-        .at[jnp.asarray(flat_b, jnp.int32)]
-        .add(jnp.asarray(vb))
-        .reshape(g, a, a)
-    )
+    # Flat index into [A, G, A]: r*(G*A) + g*A + c.
+    flat_f = (first[sf] * g + sk[sf]) * a + last[tf]
+    flat_b = (first[tb] * g + pk[sb]) * a + last[sb]
+
+    def scatter_bank(flat, vals):
+        bank = (
+            jnp.zeros(a * g * a, jnp.float32)
+            .at[jnp.asarray(flat, jnp.int32)]
+            .add(jnp.asarray(vals))
+            .reshape(a, g, a)
+        )
+        return bank.astype(weights_dtype)
+
     return HypercubeAdj(
-        d=jnp.asarray(d),
-        wf=wf,
-        wb=wb,
+        d=jnp.asarray(d.reshape(g, a)),
+        wf=scatter_bank(flat_f, vf),
+        wb=scatter_bank(flat_b, vb),
         node_map=jnp.asarray(hyper.astype(np.int32)),
     )
 
@@ -188,19 +201,33 @@ def _einsum(spec, a, b):
     return jnp.einsum(spec, a, b, precision=prec, preferred_element_type=jnp.float32)
 
 
-def _hyper_apply(d, wf, wb, x, transpose=False):
+def _use_pallas() -> bool:
+    knob = os.environ.get("PROTGRAM_HYPER_PALLAS", "auto")
+    if knob in ("0", "off"):
+        return False
+    if knob in ("1", "on"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _hyper_apply(d, w1, w2, x):
+    """M x with A-pattern bank ``w1`` and Aᵀ-pattern bank ``w2``.
+
+    The transpose product Mᵀx is the same call with (w2, w1): transposing M
+    swaps the roles of the two banks at identical (r, g, c) coordinates.
+    """
+    a, g, _ = w1.shape
     n_hyper, f = x.shape
-    g, a, _ = wf.shape
+    if _use_pallas() and f % 128 == 0 and n_hyper == a * g:
+        from protgram_directgcn_tpu.ops.pallas_hyper import apply_hyper_pallas
+
+        return apply_hyper_pallas(d, w1, w2, x)
     x_rg = x.reshape(a, g, f)  # [first char, suffix key, F]  (free view)
     x_gc = x.reshape(g, a, f)  # [prefix key, last char, F]   (free view)
-    if not transpose:
-        y1 = _einsum("gcr,rgf->gcf", wf, x_rg)  # A  pattern -> node order (k, c)
-        y2 = _einsum("grc,gcf->rgf", wb, x_gc)  # Aᵀ pattern -> node order (r, k)
-    else:
-        # Mᵀ swaps the roles: Wf drives the Aᵀ-shaped term and vice versa.
-        y1 = _einsum("grc,rgf->gcf", wb, x_rg)
-        y2 = _einsum("gcr,gcf->rgf", wf, x_gc)
-    return d[:, None] * x + y1.reshape(n_hyper, f) + y2.reshape(n_hyper, f)
+    y1 = _einsum("rgc,rgf->gcf", w1, x_rg)  # A  pattern -> node order (g, c)
+    y2 = _einsum("rgc,gcf->rgf", w2, x_gc)  # Aᵀ pattern -> node order (r, g)
+    out = d.reshape(-1)[:, None] * x + y1.reshape(n_hyper, f) + y2.reshape(n_hyper, f)
+    return out.astype(x.dtype)
 
 
 @jax.custom_vjp
@@ -214,7 +241,7 @@ def _propagate_hyper_fwd(d, wf, wb, x):
 
 def _propagate_hyper_bwd(res, grad):
     d, wf, wb = res
-    dx = _hyper_apply(d, wf, wb, grad, transpose=True)
+    dx = _hyper_apply(d, wb, wf, grad)  # Mᵀ grad: banks swap roles
     return (jnp.zeros_like(d), jnp.zeros_like(wf), jnp.zeros_like(wb), dx)
 
 

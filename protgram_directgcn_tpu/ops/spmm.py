@@ -290,7 +290,9 @@ def build_adjacency(
         dense_enough = 0 < n_hyper <= 4 * max(n_out, 1)
         if mode == "hypercube" or dense_enough:
             try:
-                return _hyper.build_hypercube(src, tgt, w, codes, alpha)
+                return _hyper.build_hypercube(
+                    src, tgt, w, codes, alpha, weights_dtype=dtype
+                )
             except Exception:
                 if mode == "hypercube":
                     raise

@@ -101,6 +101,59 @@ def test_build_adjacency_selects_hypercube_with_codes(trigram_graph):
     assert isinstance(auto, hypercube.HypercubeAdj) == dense_enough
 
 
+@pytest.mark.parametrize("matrix", ["mathcal_a_out", "mathcal_a_in"])
+def test_pallas_kernels_match_oracle(trigram_graph, matrix):
+    """The fused Pallas sweeps (interpret mode on CPU) reproduce the dense
+    oracle and the XLA einsum path exactly, forward and transpose."""
+    from protgram_directgcn_tpu.ops.pallas_hyper import apply_hyper_pallas
+
+    g = trigram_graph
+    src, tgt, val = transforms.csr_to_coo_arrays(getattr(g, matrix)())
+    codes, alpha = hypercube.vocab_char_codes(g.vocab)
+    adj = hypercube.build_hypercube(src, tgt, val, codes, alpha)
+    rng = np.random.default_rng(7)
+    # F=128 exercises the single-f-tile path the TPU dispatch requires.
+    x = rng.normal(size=(g.num_nodes, 128)).astype(np.float32)
+    xh = hypercube.embed_features(adj, jnp.asarray(x))
+
+    out_pl = apply_hyper_pallas(adj.d, adj.wf, adj.wb, xh, interpret=True)
+    out_real = np.asarray(out_pl)[np.asarray(adj.node_map)]
+    np.testing.assert_allclose(
+        out_real, _dense_oracle(src, tgt, val, g.num_nodes, x), rtol=1e-4, atol=1e-5
+    )
+    # Transpose product = same kernels with the banks swapped.
+    out_t = apply_hyper_pallas(adj.d, adj.wb, adj.wf, xh, interpret=True)
+    at = np.zeros((g.num_nodes, g.num_nodes))
+    np.add.at(at, (tgt, src), val)
+    np.testing.assert_allclose(
+        np.asarray(out_t)[np.asarray(adj.node_map)],
+        at.T @ x,
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_pallas_bf16_within_mixed_precision_tolerance(trigram_graph):
+    from protgram_directgcn_tpu.ops.pallas_hyper import apply_hyper_pallas
+
+    g = trigram_graph
+    src, tgt, val = transforms.csr_to_coo_arrays(g.mathcal_a_out())
+    codes, alpha = hypercube.vocab_char_codes(g.vocab)
+    adj = hypercube.build_hypercube(
+        src, tgt, val, codes, alpha, weights_dtype=jnp.bfloat16
+    )
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(g.num_nodes, 128)).astype(np.float32)
+    xh = hypercube.embed_features(adj, jnp.asarray(x)).astype(jnp.bfloat16)
+    out = apply_hyper_pallas(adj.d, adj.wf, adj.wb, xh, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = _dense_oracle(src, tgt, val, g.num_nodes, x)
+    got = np.asarray(out, np.float64)[np.asarray(adj.node_map)]
+    # bf16 storage: ~3 decimal digits; degrees here are small.
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() <= 0.05 * scale
+
+
 def test_hypercube_rejects_unstructured_graph(rng):
     n = 27
     src, tgt, w = random_graph_arrays(rng, n=n, e=200)
