@@ -145,6 +145,10 @@ def main():
     val = (val / max(1e-9, float(np.abs(val).max()))).astype(np.float32)
 
     mode = os.environ.get("BENCH_SPMM_MODE", "auto")
+    # bf16 is the production precision on TPU (the reference trains under
+    # CUDA AMP fp16, reference: protgram_directgcn_trainer.py:88); it halves
+    # every HBM stream.  BENCH_DTYPE=f32 measures the full-precision path.
+    dtype = jnp.float32 if os.environ.get("BENCH_DTYPE") == "f32" else jnp.bfloat16
     t0 = time.perf_counter()
     adj = spmm.build_adjacency(
         src,
@@ -153,6 +157,7 @@ def main():
         n,
         mode=mode,
         feat_dim=feat_dim,
+        dtype=dtype,
         node_keys=node_keys,
         vocab_codes=(np.asarray(vocab_codes[0], np.int64), int(vocab_codes[1])),
     )
@@ -161,7 +166,9 @@ def main():
     _log(f"adjacency built mode={mode} ({time.perf_counter() - t0:.1f}s)")
     # The format defines its node space (the hypercube format pads to A^n).
     rows = getattr(adj, "n_out", n)
-    x = jax.random.normal(jax.random.PRNGKey(1), (rows, feat_dim), dtype=jnp.float32)
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (rows, feat_dim), dtype=jnp.float32
+    ).astype(dtype)
 
     def make_loop(length):
         @jax.jit
@@ -181,7 +188,7 @@ def main():
     edges_per_s = 2.0 * nnz / per_iter
 
     hbm_bw = 8.19e11 if on_tpu else 5.0e10
-    roofline_per_pass = hbm_bw / (4.0 * feat_dim)
+    roofline_per_pass = hbm_bw / (jnp.dtype(dtype).itemsize * feat_dim)
     vs_baseline = (edges_per_s / 2.0) / roofline_per_pass
 
     print(
@@ -189,7 +196,10 @@ def main():
             {
                 "metric": "spmm_fwdbwd_edges_per_s",
                 "value": round(edges_per_s, 1),
-                "unit": f"edges/s (5-gram n={n}, nnz={nnz}, F={feat_dim}, {dev.platform})",
+                "unit": (
+                    f"edges/s (5-gram n={n}, nnz={nnz}, F={feat_dim}, "
+                    f"{jnp.dtype(dtype).name}, {dev.platform})"
+                ),
                 "vs_baseline": round(vs_baseline, 4),
             }
         )

@@ -19,31 +19,37 @@ layouts the block contraction needs are plain *reshapes* of the feature array:
 and one propagation becomes
 
     out = d * x                                  (diagonal)
-        + sum_r wf[r,g,c] * x[r,g,f]             (A  pattern, out at (g,c))
-        + sum_c wb[r,g,c] * x[g,c,f]             (Aᵀ pattern, out at (r,g))
+        + sum_r wf[g,c,r] * x[r,g,f]             (A  pattern, out at (g,c))
+        + sum_c wb[g,r,c] * x[g,c,f]             (Aᵀ pattern, out at (r,g))
 
 — per-key [A x A] block contractions over G = A^(n-1) keys plus regular
 (tileable) relayouts.  **Zero random gathers**: every byte moves at
 streaming/transpose rate instead of the random-row gather rate that bounds
 ELL/COO/block SpMM on this hardware (no SparseCore; see CLAUDE.md).
 
-Weight banks are stored ``[A, G, A]``:
+Weight banks are stored ``[G, A, A]`` (key-major, so kernels take contiguous
+leading-axis blocks), in BOTH last-two-dim layouts because the two fused
+kernels batch their matmuls over the key axis with different operand orders:
 
-    wf[r, g, c] = weight of edge (r·G + g)  ->  (g·A + c)      (A  pattern)
-    wb[r, g, c] = weight of edge (g·A + c)  ->  (r·G + g)      (Aᵀ pattern)
+    wf_c[g, c, r] = wf_r[g, r, c] = weight of edge (r·G+g) -> (g·A+c)
+    wb_c[g, c, r] = wb_r[g, r, c] = weight of edge (g·A+c) -> (r·G+g)
 
-so the transpose product Mᵀx — the backward pass — is the SAME computation
-with the two banks swapped: under Mᵀ, each A-pattern edge becomes an
-Aᵀ-pattern edge with identical (r, g, c) coordinates and vice versa.  On TPU
-the product runs as two fused Pallas sweeps (`ops/pallas_hyper.py`); off-TPU
-an XLA einsum fallback computes the same contraction.
+The transpose product Mᵀx — the backward pass — is the SAME computation with
+the two edge-pattern banks swapped: under Mᵀ each A-pattern edge becomes an
+Aᵀ-pattern edge with identical (r, g, c) coordinates and vice versa, so
+fwd consumes (wf_c, wb_r) and bwd consumes (wb_c, wf_r).  Duplicating the
+layouts costs 2x weight memory but removes two full relayout passes per
+propagation (measured ~13% on v5e).  On TPU the product runs as two fused
+Pallas kernels (`ops/pallas_hyper.py`, batched MXU contractions); off-TPU an
+XLA einsum fallback computes the same contraction.
 
-The price is padding the node space from |vocab| to A^n (absent n-grams are
-zero rows that never receive contributions).  For protein n-gram graphs the
-vocabulary saturates the hypercube quickly (5-gram Swiss-Prot scale: ~60%+
-dense), so the 1/density traffic overhead is far cheaper than random gathers.
-Builders refuse (BlockStructureError) when the hypercube would be too sparse
-or too large, letting `build_adjacency(mode="auto")` fall back.
+The price of the format is padding the node space from |vocab| to A^n
+(absent n-grams are zero rows that never receive contributions).  For
+protein n-gram graphs the vocabulary saturates the hypercube quickly (5-gram
+Swiss-Prot scale: ~60%+ dense), so the 1/density traffic overhead is far
+cheaper than random gathers.  Builders refuse (BlockStructureError) when the
+hypercube would be too sparse or too large, letting
+`build_adjacency(mode="auto")` fall back.
 
 reference: graph_utils.py:198-287 (propagation matrices this format carries),
 data_builder.py:45-54 (edges connect overlapping n-grams, which is what makes
@@ -72,8 +78,10 @@ class HypercubeAdj:
     """
 
     d: jnp.ndarray  # [G, A] f32 diagonal (flat over node id g*A + c)
-    wf: jnp.ndarray  # [A, G, A]: wf[r, g, c] = w(edge r·G+g -> g·A+c)
-    wb: jnp.ndarray  # [A, G, A]: wb[r, g, c] = w(edge g·A+c -> r·G+g)
+    wf_c: jnp.ndarray  # [G, A, A]: wf_c[g, c, r] = w(edge r·G+g -> g·A+c)
+    wf_r: jnp.ndarray  # [G, A, A]: wf_r[g, r, c] = same weights, other layout
+    wb_c: jnp.ndarray  # [G, A, A]: wb_c[g, c, r] = w(edge g·A+c -> r·G+g)
+    wb_r: jnp.ndarray  # [G, A, A]: wb_r[g, r, c] = same weights, other layout
     node_map: jnp.ndarray  # [N_real] int32 hypercube id per real node
 
     @property
@@ -82,7 +90,7 @@ class HypercubeAdj:
 
     @property
     def alphabet(self) -> int:
-        return self.wf.shape[0]
+        return self.d.shape[1]
 
 
 def vocab_char_codes(vocab: np.ndarray) -> Tuple[np.ndarray, int]:
@@ -123,9 +131,10 @@ def build_hypercube(
         raise BlockStructureError("hypercube format needs n >= 2")
     g = a ** (n - 1)
     n_hyper = a**n
-    if 2 * g * a * a * 4 > max_block_bytes:
+    itemsize = jnp.dtype(weights_dtype).itemsize
+    if 4 * g * a * a * itemsize > max_block_bytes:
         raise BlockStructureError(
-            f"hypercube blocks would need {2 * g * a * a * 4} bytes"
+            f"hypercube banks would need {4 * g * a * a * itemsize} bytes"
         )
 
     pows = a ** np.arange(n - 1, -1, -1, dtype=np.int64)
@@ -156,25 +165,25 @@ def build_hypercube(
     sf, tf, vf = s[fwd], t[fwd], v[fwd]
     sb, tb, vb = s[bwd], t[bwd], v[bwd]
     # Ship COO to the device and scatter there: the flat block tables are
-    # A*G*A floats (hundreds of MB at 5-gram scale) while the COO triplets
+    # 4*G*A*A entries (hundreds of MB at 5-gram scale) while the COO triplets
     # are ~8 bytes/edge — a big win over the ~8 MB/s host->device tunnel.
-    # Flat index into [A, G, A]: r*(G*A) + g*A + c.
-    flat_f = (first[sf] * g + sk[sf]) * a + last[tf]
-    flat_b = (first[tb] * g + pk[sb]) * a + last[sb]
-
+    # A-pattern edge coords: r = first[src], g = suffix key of src, c = last[tgt].
+    # Aᵀ-pattern edge coords: r = first[tgt], g = prefix key of src, c = last[src].
     def scatter_bank(flat, vals):
         bank = (
-            jnp.zeros(a * g * a, jnp.float32)
+            jnp.zeros(g * a * a, jnp.float32)
             .at[jnp.asarray(flat, jnp.int32)]
             .add(jnp.asarray(vals))
-            .reshape(a, g, a)
+            .reshape(g, a, a)
         )
         return bank.astype(weights_dtype)
 
     return HypercubeAdj(
         d=jnp.asarray(d.reshape(g, a)),
-        wf=scatter_bank(flat_f, vf),
-        wb=scatter_bank(flat_b, vb),
+        wf_c=scatter_bank((sk[sf] * a + last[tf]) * a + first[sf], vf),
+        wf_r=scatter_bank((sk[sf] * a + first[sf]) * a + last[tf], vf),
+        wb_c=scatter_bank((pk[sb] * a + last[sb]) * a + first[tb], vb),
+        wb_r=scatter_bank((pk[sb] * a + first[tb]) * a + last[sb], vb),
         node_map=jnp.asarray(hyper.astype(np.int32)),
     )
 
@@ -210,39 +219,41 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _hyper_apply(d, w1, w2, x):
-    """M x with A-pattern bank ``w1`` and Aᵀ-pattern bank ``w2``.
+def _hyper_apply(d, w1c, w2r, x):
+    """M x where ``w1c`` is the A-pattern bank in [g, c, r] layout and
+    ``w2r`` the Aᵀ-pattern bank in [g, r, c] layout.
 
-    The transpose product Mᵀx is the same call with (w2, w1): transposing M
-    swaps the roles of the two banks at identical (r, g, c) coordinates.
+    The transpose product Mᵀx is the same call with (wb_c, wf_r): transposing
+    M swaps the two edge-pattern roles at identical (r, g, c) coordinates.
     """
-    a, g, _ = w1.shape
+    g, a, _ = w1c.shape
     n_hyper, f = x.shape
     if _use_pallas() and f % 128 == 0 and n_hyper == a * g:
         from protgram_directgcn_tpu.ops.pallas_hyper import apply_hyper_pallas
 
-        return apply_hyper_pallas(d, w1, w2, x)
+        return apply_hyper_pallas(d, w1c, w2r, x)
     x_rg = x.reshape(a, g, f)  # [first char, suffix key, F]  (free view)
     x_gc = x.reshape(g, a, f)  # [prefix key, last char, F]   (free view)
-    y1 = _einsum("rgc,rgf->gcf", w1, x_rg)  # A  pattern -> node order (g, c)
-    y2 = _einsum("rgc,gcf->rgf", w2, x_gc)  # Aᵀ pattern -> node order (r, g)
+    y1 = _einsum("gcr,rgf->gcf", w1c, x_rg)  # A  pattern -> node order (g, c)
+    y2 = _einsum("grc,gcf->rgf", w2r, x_gc)  # Aᵀ pattern -> node order (r, g)
     out = d.reshape(-1)[:, None] * x + y1.reshape(n_hyper, f) + y2.reshape(n_hyper, f)
     return out.astype(x.dtype)
 
 
 @jax.custom_vjp
-def _propagate_hyper(d, wf, wb, x):
-    return _hyper_apply(d, wf, wb, x)
+def _propagate_hyper(d, wf_c, wf_r, wb_c, wb_r, x):
+    return _hyper_apply(d, wf_c, wb_r, x)
 
 
-def _propagate_hyper_fwd(d, wf, wb, x):
-    return _hyper_apply(d, wf, wb, x), (d, wf, wb)
+def _propagate_hyper_fwd(d, wf_c, wf_r, wb_c, wb_r, x):
+    return _hyper_apply(d, wf_c, wb_r, x), (d, wf_r, wb_c)
 
 
 def _propagate_hyper_bwd(res, grad):
-    d, wf, wb = res
-    dx = _hyper_apply(d, wb, wf, grad)  # Mᵀ grad: banks swap roles
-    return (jnp.zeros_like(d), jnp.zeros_like(wf), jnp.zeros_like(wb), dx)
+    d, wf_r, wb_c = res
+    dx = _hyper_apply(d, wb_c, wf_r, grad)  # Mᵀ grad: edge-pattern roles swap
+    zeros = lambda ref: jnp.zeros_like(ref)  # noqa: E731 — graph is constant
+    return (zeros(d), zeros(wf_r), zeros(wf_r), zeros(wb_c), zeros(wb_c), dx)
 
 
 _propagate_hyper.defvjp(_propagate_hyper_fwd, _propagate_hyper_bwd)
@@ -250,4 +261,4 @@ _propagate_hyper.defvjp(_propagate_hyper_fwd, _propagate_hyper_bwd)
 
 def propagate_hyper(adj: HypercubeAdj, x: jnp.ndarray) -> jnp.ndarray:
     """out[i] = sum over edges (j -> i) of w * x[j], both in hypercube ids."""
-    return _propagate_hyper(adj.d, adj.wf, adj.wb, x)
+    return _propagate_hyper(adj.d, adj.wf_c, adj.wf_r, adj.wb_c, adj.wb_r, x)

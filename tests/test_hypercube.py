@@ -116,13 +116,13 @@ def test_pallas_kernels_match_oracle(trigram_graph, matrix):
     x = rng.normal(size=(g.num_nodes, 128)).astype(np.float32)
     xh = hypercube.embed_features(adj, jnp.asarray(x))
 
-    out_pl = apply_hyper_pallas(adj.d, adj.wf, adj.wb, xh, interpret=True)
+    out_pl = apply_hyper_pallas(adj.d, adj.wf_c, adj.wb_r, xh, interpret=True)
     out_real = np.asarray(out_pl)[np.asarray(adj.node_map)]
     np.testing.assert_allclose(
         out_real, _dense_oracle(src, tgt, val, g.num_nodes, x), rtol=1e-4, atol=1e-5
     )
-    # Transpose product = same kernels with the banks swapped.
-    out_t = apply_hyper_pallas(adj.d, adj.wb, adj.wf, xh, interpret=True)
+    # Transpose product = same kernels with the edge-pattern banks swapped.
+    out_t = apply_hyper_pallas(adj.d, adj.wb_c, adj.wf_r, xh, interpret=True)
     at = np.zeros((g.num_nodes, g.num_nodes))
     np.add.at(at, (tgt, src), val)
     np.testing.assert_allclose(
@@ -145,7 +145,7 @@ def test_pallas_bf16_within_mixed_precision_tolerance(trigram_graph):
     rng = np.random.default_rng(9)
     x = rng.normal(size=(g.num_nodes, 128)).astype(np.float32)
     xh = hypercube.embed_features(adj, jnp.asarray(x)).astype(jnp.bfloat16)
-    out = apply_hyper_pallas(adj.d, adj.wf, adj.wb, xh, interpret=True)
+    out = apply_hyper_pallas(adj.d, adj.wf_c, adj.wb_r, xh, interpret=True)
     assert out.dtype == jnp.bfloat16
     ref = _dense_oracle(src, tgt, val, g.num_nodes, x)
     got = np.asarray(out, np.float64)[np.asarray(adj.node_map)]
