@@ -115,7 +115,7 @@ class NgramGraph:
 
             def hyper_from(m):
                 s, t, v = transforms.csr_to_coo_arrays(m)
-                return build_hypercube(s, t, v, codes, alpha)
+                return build_hypercube(s, t, v, codes, alpha, weights_dtype=dtype)
 
             p_in = hyper_from(self.mathcal_a_in())
             return DeviceGraph(

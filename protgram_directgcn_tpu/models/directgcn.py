@@ -48,6 +48,11 @@ class DirectGCNConfig:
     leaky_relu_slope: float = 0.01
     fused: bool = True
     use_pallas: bool = False
+    # "bfloat16" runs the dense projections and sparse propagations in bf16
+    # (params stay f32; gating/bias/residual math promotes back to f32) —
+    # the TPU-native analogue of the reference's CUDA AMP autocast
+    # (reference: protgram_directgcn_trainer.py:88).  No loss scaling needed.
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         if len(self.layer_dims) < 2:
@@ -164,13 +169,14 @@ def _layer_apply(
 ) -> jnp.ndarray:
     """One DirectGCN layer (reference forward: protgram_directgcn.py:93-135)."""
     use_pallas = cfg.use_pallas
+    ct = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else x.dtype
     if cfg.fused:
         # One fused MXU matmul for all three paths, then 3 propagations.
         w_cat = jnp.concatenate(
             [p["w_main_in"] + p["w_shared"], p["w_main_out"] + p["w_shared"],
              p["w_und"] + p["w_shared"]], axis=1,
         )
-        proj = x @ w_cat  # [N, 3*out]
+        proj = x.astype(ct) @ w_cat.astype(ct)  # [N, 3*out]
         out_dim = p["w_main_in"].shape[1]
         x_in, x_out, x_und = (
             proj[:, :out_dim], proj[:, out_dim : 2 * out_dim], proj[:, 2 * out_dim :]
@@ -180,16 +186,20 @@ def _layer_apply(
         uc = propagate(graph.p_und, x_und, use_pallas) + p["b_und"] + p["b_shared_und"]
     else:
         # Literal 6-propagation dataflow for parity testing.
-        xs = x @ p["w_shared"]
-        ic = (propagate(graph.p_in, x @ p["w_main_in"], use_pallas) + p["b_main_in"]) + (
-            propagate(graph.p_in, xs, use_pallas) + p["b_shared_in"]
-        )
-        oc = (propagate(graph.p_out, x @ p["w_main_out"], use_pallas) + p["b_main_out"]) + (
-            propagate(graph.p_out, xs, use_pallas) + p["b_shared_out"]
-        )
-        uc = (propagate(graph.p_und, x @ p["w_und"], use_pallas) + p["b_und"]) + (
-            propagate(graph.p_und, xs, use_pallas) + p["b_shared_und"]
-        )
+        x = x.astype(ct)
+        xs = x @ p["w_shared"].astype(ct)
+        ic = (
+            propagate(graph.p_in, x @ p["w_main_in"].astype(ct), use_pallas)
+            + p["b_main_in"]
+        ) + (propagate(graph.p_in, xs, use_pallas) + p["b_shared_in"])
+        oc = (
+            propagate(graph.p_out, x @ p["w_main_out"].astype(ct), use_pallas)
+            + p["b_main_out"]
+        ) + (propagate(graph.p_out, xs, use_pallas) + p["b_shared_out"])
+        uc = (
+            propagate(graph.p_und, x @ p["w_und"].astype(ct), use_pallas)
+            + p["b_und"]
+        ) + (propagate(graph.p_und, xs, use_pallas) + p["b_shared_und"])
 
     (c_in, c_out, c_dir, c_und, c_all), const = _gather_node_params(p, original_indices)
     directed = c_dir * (c_in * ic + c_out * oc)

@@ -197,6 +197,7 @@ class HierarchicalTrainer:
         gather-free hypercube format when the padded space is dense enough."""
         gcn = self.gcn
         mode = gcn.spmm_mode if gcn.spmm_mode != "pallas" else "ell"
+        dtype = jnp.bfloat16 if gcn.compute_dtype == "bfloat16" else jnp.float32
         if graph.n >= 2 and graph.num_nodes and mode in ("auto", "hypercube"):
             want = mode == "hypercube"
             if not want:
@@ -207,13 +208,15 @@ class HierarchicalTrainer:
                 want = 0 < n_hyper <= _HYPERCUBE_MAX_RATIO * graph.num_nodes
             if want:
                 try:
-                    return graph.to_device(mode="hypercube", feat_dim=feat_dim)
+                    return graph.to_device(mode="hypercube", feat_dim=feat_dim, dtype=dtype)
                 except Exception as exc:  # falls back to generic formats
                     if mode == "hypercube":
                         raise
                     logger.info("hypercube format unavailable (%s); falling back", exc)
         # 1-gram levels have no key structure — generic formats handle them.
-        return graph.to_device(mode="auto" if mode == "hypercube" else mode, feat_dim=feat_dim)
+        return graph.to_device(
+            mode="auto" if mode == "hypercube" else mode, feat_dim=feat_dim, dtype=dtype
+        )
 
     def _make_cluster_batches(
         self,
@@ -314,6 +317,7 @@ class HierarchicalTrainer:
             dropout=gcn.dropout_rate,
             use_vector_coeffs=gcn.use_vector_coeffs,
             use_pallas=use_pallas,
+            compute_dtype=gcn.compute_dtype,
         )
         params = init_directgcn_params(jax.random.PRNGKey(self.config.random_state + n_val), model_cfg)
 

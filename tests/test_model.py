@@ -95,6 +95,23 @@ def test_forward_matches_oracle(setup, fused):
     np.testing.assert_allclose(np.asarray(emb), o_emb, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("fused", [True, False])
+def test_bf16_compute_dtype_tracks_f32(setup, fused):
+    """compute_dtype="bfloat16" (the AMP-autocast analogue) stays within
+    mixed-precision tolerance of the f32 path and still returns f32."""
+    dg, mats, cfg, params, x = setup
+    cfg_f32 = DirectGCNConfig(**{**cfg.__dict__, "fused": fused})
+    cfg_bf16 = DirectGCNConfig(
+        **{**cfg.__dict__, "fused": fused, "compute_dtype": "bfloat16"}
+    )
+    a, ea = directgcn_apply(params, dg, jnp.asarray(x), cfg_f32)
+    b, eb = directgcn_apply(params, dg, jnp.asarray(x), cfg_bf16)
+    assert b.dtype == jnp.float32  # gating/bias math promotes back
+    scale = float(np.abs(np.asarray(a)).max())
+    assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) <= 0.03 * scale
+    assert float(np.abs(np.asarray(ea) - np.asarray(eb)).max()) <= 0.05
+
+
 def test_fused_equals_unfused(setup):
     dg, mats, cfg, params, x = setup
     cfg_f = DirectGCNConfig(**{**cfg.__dict__, "fused": True})
