@@ -207,7 +207,7 @@ def _ell_hbm_raw(idx, w, x, interpret=False):
         in_specs=[
             pl.BlockSpec((_HBM_TILE_N, k_slots), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((k_slots, _HBM_TILE_N, 1), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
         ],
         out_specs=pl.BlockSpec((_HBM_TILE_N, f_total), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, f_total), jnp.float32),
