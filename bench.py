@@ -164,10 +164,14 @@ def main():
     _log(f"adjacency format: {type(adj).__name__}")
     jax.block_until_ready(jax.tree_util.tree_leaves(adj))
     _log(f"adjacency built mode={mode} ({time.perf_counter() - t0:.1f}s)")
-    # The format defines its node space (the hypercube format pads to A^n).
+    # The format defines its node space (the hypercube format pads to A^n)
+    # and its feature layout: the hypercube kernels are layout-native over
+    # [A, G, F] (rg) features — keeping the carry in that layout avoids a
+    # materialized XLA relayout per propagation (see ops/pallas_hyper.py).
     rows = getattr(adj, "n_out", n)
+    lead = getattr(adj, "feature_shape", (rows,))
     x = jax.random.normal(
-        jax.random.PRNGKey(1), (rows, feat_dim), dtype=jnp.float32
+        jax.random.PRNGKey(1), lead + (feat_dim,), dtype=jnp.float32
     ).astype(dtype)
 
     def make_loop(length):

@@ -10,38 +10,32 @@ entirely by choosing the node id space to be the **full character hypercube**:
     node id of n-gram (c_1 .. c_n)  :=  sum_i code(c_i) * A^(n-i)
 
 With positional ids, the prefix key and the suffix key of a node are integer
-div/mod of its id (``id // A`` and ``id % A^(n-1)``), so the two grouped
-layouts the block contraction needs are plain *reshapes* of the feature array:
-
-    prefix layout  x[key, last_char]   = x.reshape(G, A, F)       (free view)
-    suffix layout  x[first_char, key]  = x.reshape(A, G, F)       (free view)
-
-and one propagation becomes
+div/mod of its id (``id // A`` and ``id % A^(n-1)``), so the grouped layouts
+the block contraction needs are plain *reshapes* of the feature array, and one
+propagation becomes
 
     out = d * x                                  (diagonal)
-        + sum_r wf[g,c,r] * x[r,g,f]             (A  pattern, out at (g,c))
-        + sum_c wb[g,r,c] * x[g,c,f]             (Aᵀ pattern, out at (r,g))
+        + sum_r wf[r,g,c] * x[r*G+g]             (A  pattern, out at g*A+c)
+        + sum_c wb[r,g,c] * x[g*A+c]             (Aᵀ pattern, out at r*G+g)
 
-— per-key [A x A] block contractions over G = A^(n-1) keys plus regular
-(tileable) relayouts.  **Zero random gathers**: every byte moves at
-streaming/transpose rate instead of the random-row gather rate that bounds
-ELL/COO/block SpMM on this hardware (no SparseCore; see CLAUDE.md).
+— per-key [A x A] block contractions over G = A^(n-1) keys.  **Zero random
+gathers**: every byte moves at streaming rate instead of the random-row gather
+rate that bounds ELL/COO SpMM on this hardware (no SparseCore; see CLAUDE.md).
 
-Weight banks are stored ``[G, A, A]`` (key-major, so kernels take contiguous
-leading-axis blocks), in BOTH last-two-dim layouts because the two fused
-kernels batch their matmuls over the key axis with different operand orders:
+TPU layout discipline (see ops/pallas_hyper.py for the measured rationale):
+features are carried in the **rg layout** ``[A, G, F]`` whose trailing dims
+tile perfectly, and both weight banks are stored **r-major** ``[A, G, A]`` —
+the only bank layout whose tile padding is mild (lanes A -> 128) instead of
+catastrophic (the g-major [G, A, A] layout pads (A, A) tiles to (32, 128),
+9.3x):
 
-    wf_c[g, c, r] = wf_r[g, r, c] = weight of edge (r·G+g) -> (g·A+c)
-    wb_c[g, c, r] = wb_r[g, r, c] = weight of edge (g·A+c) -> (r·G+g)
+    wf_rs[r, g, c] = weight of A-pattern  edge (r*G+g) -> (g*A+c)
+    wb_rs[r, g, c] = weight of Aᵀ-pattern edge (g*A+c) -> (r*G+g)
 
 The transpose product Mᵀx — the backward pass — is the SAME computation with
-the two edge-pattern banks swapped: under Mᵀ each A-pattern edge becomes an
-Aᵀ-pattern edge with identical (r, g, c) coordinates and vice versa, so
-fwd consumes (wf_c, wb_r) and bwd consumes (wb_c, wf_r).  Duplicating the
-layouts costs 2x weight memory but removes two full relayout passes per
-propagation (measured ~13% on v5e).  On TPU the product runs as two fused
-Pallas kernels (`ops/pallas_hyper.py`, batched MXU contractions); off-TPU an
-XLA einsum fallback computes the same contraction.
+the two banks swapped: under Mᵀ each A-pattern edge becomes an Aᵀ-pattern
+edge with identical (r, g, c) coordinates and vice versa.  Only two banks
+exist in total; forward consumes (wf_rs, wb_rs), backward (wb_rs, wf_rs).
 
 The price of the format is padding the node space from |vocab| to A^n
 (absent n-grams are zero rows that never receive contributions).  For
@@ -77,11 +71,9 @@ class HypercubeAdj:
     nodes live at ``node_map`` positions, absent ids are zero rows/columns.
     """
 
-    d: jnp.ndarray  # [G, A] f32 diagonal (flat over node id g*A + c)
-    wf_c: jnp.ndarray  # [G, A, A]: wf_c[g, c, r] = w(edge r·G+g -> g·A+c)
-    wf_r: jnp.ndarray  # [G, A, A]: wf_r[g, r, c] = same weights, other layout
-    wb_c: jnp.ndarray  # [G, A, A]: wb_c[g, c, r] = w(edge g·A+c -> r·G+g)
-    wb_r: jnp.ndarray  # [G, A, A]: wb_r[g, r, c] = same weights, other layout
+    d: jnp.ndarray  # [A, G] f32 diagonal (rg layout; flat == node order)
+    wf_rs: jnp.ndarray  # [A, G, A]: wf_rs[r, g, c] = w(edge r·G+g -> g·A+c)
+    wb_rs: jnp.ndarray  # [A, G, A]: wb_rs[r, g, c] = w(edge g·A+c -> r·G+g)
     node_map: jnp.ndarray  # [N_real] int32 hypercube id per real node
 
     @property
@@ -90,7 +82,12 @@ class HypercubeAdj:
 
     @property
     def alphabet(self) -> int:
-        return self.d.shape[1]
+        return self.d.shape[0]
+
+    @property
+    def feature_shape(self) -> Tuple[int, int]:
+        """Leading dims of the kernel-native (rg) feature layout [A, G]."""
+        return (self.d.shape[0], self.d.shape[1])
 
 
 def vocab_char_codes(vocab: np.ndarray) -> Tuple[np.ndarray, int]:
@@ -132,9 +129,9 @@ def build_hypercube(
     g = a ** (n - 1)
     n_hyper = a**n
     itemsize = jnp.dtype(weights_dtype).itemsize
-    if 4 * g * a * a * itemsize > max_block_bytes:
+    if 2 * g * a * a * itemsize > max_block_bytes:
         raise BlockStructureError(
-            f"hypercube banks would need {4 * g * a * a * itemsize} bytes"
+            f"hypercube banks would need {2 * g * a * a * itemsize} bytes"
         )
 
     pows = a ** np.arange(n - 1, -1, -1, dtype=np.int64)
@@ -164,26 +161,24 @@ def build_hypercube(
 
     sf, tf, vf = s[fwd], t[fwd], v[fwd]
     sb, tb, vb = s[bwd], t[bwd], v[bwd]
-    # Ship COO to the device and scatter there: the flat block tables are
-    # 4*G*A*A entries (hundreds of MB at 5-gram scale) while the COO triplets
+    # Ship COO to the device and scatter there: the flat bank tables are
+    # 2*G*A*A entries (hundreds of MB at 5-gram scale) while the COO triplets
     # are ~8 bytes/edge — a big win over the ~8 MB/s host->device tunnel.
-    # A-pattern edge coords: r = first[src], g = suffix key of src, c = last[tgt].
-    # Aᵀ-pattern edge coords: r = first[tgt], g = prefix key of src, c = last[src].
+    # A-pattern edge coords:  r = first[src], g = suffix key of src, c = last[tgt].
+    # Aᵀ-pattern edge coords: r = first[tgt], g = prefix key of src,  c = last[src].
     def scatter_bank(flat, vals):
         bank = (
-            jnp.zeros(g * a * a, jnp.float32)
+            jnp.zeros(a * g * a, jnp.float32)
             .at[jnp.asarray(flat, jnp.int32)]
             .add(jnp.asarray(vals))
-            .reshape(g, a, a)
+            .reshape(a, g, a)
         )
         return bank.astype(weights_dtype)
 
     return HypercubeAdj(
-        d=jnp.asarray(d.reshape(g, a)),
-        wf_c=scatter_bank((sk[sf] * a + last[tf]) * a + first[sf], vf),
-        wf_r=scatter_bank((sk[sf] * a + first[sf]) * a + last[tf], vf),
-        wb_c=scatter_bank((pk[sb] * a + last[sb]) * a + first[tb], vb),
-        wb_r=scatter_bank((pk[sb] * a + first[tb]) * a + last[sb], vb),
+        d=jnp.asarray(d.reshape(a, g)),
+        wf_rs=scatter_bank((first[sf] * g + sk[sf]) * a + last[tf], vf),
+        wb_rs=scatter_bank((first[tb] * g + pk[sb]) * a + last[sb], vb),
         node_map=jnp.asarray(hyper.astype(np.int32)),
     )
 
@@ -196,6 +191,8 @@ def embed_features(adj: HypercubeAdj, x_real: jnp.ndarray) -> jnp.ndarray:
 
 def extract_features(adj: HypercubeAdj, x_hyper: jnp.ndarray) -> jnp.ndarray:
     """Gather real-node rows back out of the hypercube layout."""
+    if x_hyper.ndim == 3:  # kernel-native rg layout
+        x_hyper = x_hyper.reshape((x_hyper.shape[0] * x_hyper.shape[1],) + x_hyper.shape[2:])
     return jnp.take(x_hyper, adj.node_map, axis=0)
 
 
@@ -219,46 +216,55 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _hyper_apply(d, w1c, w2r, x):
-    """M x where ``w1c`` is the A-pattern bank in [g, c, r] layout and
-    ``w2r`` the Aᵀ-pattern bank in [g, r, c] layout.
+def _hyper_apply(d, w1rs, w2rs, x_rg):
+    """M x in rg layout, where ``w1rs`` is the A-pattern bank and ``w2rs``
+    the Aᵀ-pattern bank (both r-major [r, g, c]).
 
-    The transpose product Mᵀx is the same call with (wb_c, wf_r): transposing
-    M swaps the two edge-pattern roles at identical (r, g, c) coordinates.
+    The transpose product Mᵀx is the same call with the banks swapped:
+    transposing M swaps the two edge-pattern roles at identical (r, g, c)
+    coordinates.
     """
-    g, a, _ = w1c.shape
-    n_hyper, f = x.shape
-    if _use_pallas() and f % 128 == 0 and n_hyper == a * g:
-        from protgram_directgcn_tpu.ops.pallas_hyper import apply_hyper_pallas
+    a, g = d.shape
+    f = x_rg.shape[2]
+    if _use_pallas() and f % 128 == 0 and g >= 128:
+        from protgram_directgcn_tpu.ops import pallas_hyper
 
-        return apply_hyper_pallas(d, w1c, w2r, x)
-    x_rg = x.reshape(a, g, f)  # [first char, suffix key, F]  (free view)
-    x_gc = x.reshape(g, a, f)  # [prefix key, last char, F]   (free view)
-    y1 = _einsum("gcr,rgf->gcf", w1c, x_rg)  # A  pattern -> node order (g, c)
-    y2 = _einsum("grc,gcf->rgf", w2r, x_gc)  # Aᵀ pattern -> node order (r, g)
-    out = d.reshape(-1)[:, None] * x + y1.reshape(n_hyper, f) + y2.reshape(n_hyper, f)
-    return out.astype(x.dtype)
+        return pallas_hyper.apply_hyper_pallas(d, w1rs, w2rs, x_rg)
+    x_gc = x_rg.reshape(g, a, f)  # order-preserving view of the same nodes
+    y1 = _einsum("rgc,rgf->gcf", w1rs, x_rg)  # A  pattern -> node order (g, c)
+    y2 = _einsum("rgc,gcf->rgf", w2rs, x_gc)  # Aᵀ pattern -> node order (r, g)
+    out = d[:, :, None] * x_rg.astype(jnp.float32) + y1.reshape(a, g, f) + y2
+    return out.astype(x_rg.dtype)
 
 
 @jax.custom_vjp
-def _propagate_hyper(d, wf_c, wf_r, wb_c, wb_r, x):
-    return _hyper_apply(d, wf_c, wb_r, x)
+def _propagate_hyper(d, wf_rs, wb_rs, x):
+    return _hyper_apply(d, wf_rs, wb_rs, x)
 
 
-def _propagate_hyper_fwd(d, wf_c, wf_r, wb_c, wb_r, x):
-    return _hyper_apply(d, wf_c, wb_r, x), (d, wf_r, wb_c)
+def _propagate_hyper_fwd(d, wf_rs, wb_rs, x):
+    return _hyper_apply(d, wf_rs, wb_rs, x), (d, wf_rs, wb_rs)
 
 
 def _propagate_hyper_bwd(res, grad):
-    d, wf_r, wb_c = res
-    dx = _hyper_apply(d, wb_c, wf_r, grad)  # Mᵀ grad: edge-pattern roles swap
+    d, wf_rs, wb_rs = res
+    dx = _hyper_apply(d, wb_rs, wf_rs, grad)  # Mᵀ grad: edge-pattern roles swap
     zeros = lambda ref: jnp.zeros_like(ref)  # noqa: E731 — graph is constant
-    return (zeros(d), zeros(wf_r), zeros(wf_r), zeros(wb_c), zeros(wb_c), dx)
+    return (zeros(d), zeros(wf_rs), zeros(wb_rs), dx)
 
 
 _propagate_hyper.defvjp(_propagate_hyper_fwd, _propagate_hyper_bwd)
 
 
 def propagate_hyper(adj: HypercubeAdj, x: jnp.ndarray) -> jnp.ndarray:
-    """out[i] = sum over edges (j -> i) of w * x[j], both in hypercube ids."""
-    return _propagate_hyper(adj.d, adj.wf_c, adj.wf_r, adj.wb_c, adj.wb_r, x)
+    """out[i] = sum over edges (j -> i) of w * x[j], both in hypercube ids.
+
+    ``x`` may be flat ``[A^n, F]`` (node order) or kernel-native rg layout
+    ``[A, G, F]``; the output matches the input layout.  Keeping features in
+    rg layout across propagations avoids a per-call relayout on TPU.
+    """
+    a, g = adj.d.shape
+    flat_in = x.ndim == 2
+    x_rg = x.reshape(a, g, x.shape[-1]) if flat_in else x
+    out = _propagate_hyper(adj.d, adj.wf_rs, adj.wb_rs, x_rg)
+    return out.reshape(a * g, -1) if flat_in else out

@@ -1,27 +1,48 @@
-"""Fused Pallas TPU kernels for the hypercube-factorized n-gram SpMM.
+"""Pallas TPU kernels for the hypercube-factorized n-gram SpMM.
 
-`ops/hypercube.py` factors an n-gram propagation matrix over positional node
-ids into a diagonal plus two banks of per-key [A x A] blocks (A = alphabet).
-XLA executes that as batched matmuls with materialized layout transposes and
-unfused elementwise passes — ~6-8 full sweeps over the [A^n, F] feature array
-per propagation.  These kernels fuse each propagation into exactly TWO sweeps:
+Layout is everything on this part.  Profiling the first-generation kernels
+showed the runtime was *pure HBM traffic at full bandwidth* — MXU work and
+in-kernel (1,0,2) transposes were free — and most of the traffic was waste:
 
-    K1 (contiguous order):  z[g,c,f]  = d[g,c]*x[g,c,f] + sum_r W[g,c,r]*x[r,g,f]
-    K2 (strided order):     y[r,g,f]  = z[r,g,f]        + sum_c V[g,r,c]*x[g,c,f]
+- every `x.reshape(G, A, F)` / `(A, G, F)` crossing a jit/pallas boundary is a
+  materialized XLA relayout (the (·, 21, ·) middle dim re-tiles);
+- a `[G, 21, 21]` bf16 bank is stored tile-padded to (32, 128) — a 9.3x HBM
+  inflation on every bank read; the r-major `[21, G, 21]` layout pads only
+  its last dim (21 -> 128, 6.1x) — so banks are stored r-major ONLY.
 
-where `x[g,c,f]` and `x[r,g,f]` are the two free reshape views of the feature
-array ([G, A, F] and [A, G, F]; G = A^(n-1)).  Every operand streams through
-VMEM in blocked, fully contiguous DMAs; there are **no gathers and no
-HBM-materialized transposes**.  The weight banks arrive pre-transposed in
-key-major [G, A, A] layouts (`wf_c/wb_r` for the forward product, `wb_c/wf_r`
-for the transpose product — see ops/hypercube.py for the algebra), so each
-kernel is a single batched-over-keys MXU contraction
-(`dot_general` batching the leading G axis, contracting one A axis) plus one
-in-register (1,0,2) relayout of a feature block.
+Mosaic constraints shape what is reachable (A = alphabet is odd for proteins,
+so no structural size divides 8):
 
-Measured on v5e (5-gram, A=21, F=128, bf16): 455M fwd+bwd edges/s vs 190M
-for the XLA einsum lowering — the remaining gap to the ~1.2B streaming
-ceiling is MXU occupancy on the narrow (21-wide) contractions.
+- block shapes must have their last two dims (8k, 128k) or equal to the array
+  dims — so blocks along the key axis G are free-sized (ragged), but blocks
+  sized by node-id arithmetic (multiples of A) are illegal; this is what
+  forbids fusing the whole propagation into one kernel (the A-pattern wants
+  gc-blocked outputs, the Aᵀ-pattern rg-blocked outputs, provably
+  incompatible as a single output block).
+- in-register sublane merge/split reshapes ((gt, A, F) <-> (gt*A, F)) ARE
+  supported and cheap; lane-split reshapes ((gt, A*A) -> (gt, A, A)) are NOT.
+
+The resulting two-kernel structure (one propagation = K1 then K2):
+
+    carry x: rg layout (A, G, F)    x[r, gg, f] = x[node r*G + gg]
+    x_flat = x viewed flat (N, F)   [the one materialized relayout]
+
+    K1 (A-pattern): z[g*A + c] = sum_r wf[r, g, c] * x[r*G + g]
+        in:  x_rg slabs (A, gt, F) — native carry blocks
+             wf_rs slabs (A, gt, A) — r-major bank, in-kernel (1,0,2) transpose
+        out: z FLAT (N, F) — in-kernel sublane-merge (gt, A, F) -> (gt*A, F),
+             so z is never stored in the padded gc-3D layout
+    z_rg = z viewed (A, G, F)       [second materialized relayout]
+
+    K2 (Aᵀ-pattern + diagonal + sum): out[r*G + gg] =
+             z[r*G+gg] + d[r*G+gg] x[r*G+gg] + sum_c wb[r, gg, c] x[gg*A + c]
+        in:  z_rg, x_rg (diag) — native rg blocks (A, gt, F)
+             x_flat blocks (gt*A, F) — in-kernel sublane-split to (gt, A, F)
+             wb_rs slabs (A, gt, A) — in-kernel transpose
+        out: y rg blocks (A, gt, F) — the next carry, native
+
+Per propagation: ~6 unpadded feature sweeps + 2 relayouts + 2 r-major bank
+streams; no gathers, no gc-padded arrays anywhere.
 
 reference: graph_utils.py:198-287 (the propagation matrices this format
 carries); the kernels implement the same out[i] = sum_{j->i} w_ij x[j].
@@ -36,89 +57,92 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _k1_body(d_ref, w_ref, xc_ref, xr_ref, o_ref):
-    """z[g,c,f] = d[g,c] x[g,c,f] + sum_r w[g,c,r] x[r,g,f] (one g-block)."""
+def _k1_body(w_ref, xr_ref, o_ref):
+    """z_flat[i*gt*A :] = A-pattern partial: sum_r wf[r,g,c] x[r*G+g]."""
+    gt = xr_ref.shape[1]
+    a, f = xr_ref.shape[0], xr_ref.shape[2]
+    w_t = w_ref[...].transpose(1, 0, 2)  # (gt, A_r, A_c)
     xr_t = xr_ref[...].transpose(1, 0, 2)  # (gt, A_r, F)
     y = jax.lax.dot_general(
-        w_ref[...],  # (gt, A_c, A_r)
+        w_t,
         xr_t,
-        (((2,), (1,)), ((0,), (0,))),
+        (((1,), (1,)), ((0,), (0,))),  # contract A_r, batch g
         preferred_element_type=jnp.float32,
     )  # (gt, A_c, F)
-    o_ref[...] = (
-        d_ref[...][:, :, None] * xc_ref[...].astype(jnp.float32) + y
-    ).astype(o_ref.dtype)
+    o_ref[...] = y.reshape(gt * a, f).astype(o_ref.dtype)  # sublane merge
 
 
-def _k2_body(w_ref, z_ref, xc_ref, o_ref):
-    """y[r,g,f] = z[r,g,f] + sum_c w[g,r,c] x[g,c,f] (one g-block)."""
+def _k2_body(d_ref, w_ref, z_ref, xs_ref, xd_ref, o_ref):
+    """y[r, gg] = z + d*x + sum_c wb[r, gg, c] x[gg*A + c] (one gg-block)."""
+    a, gt, f = z_ref.shape
+    w_t = w_ref[...].transpose(1, 0, 2)  # (gt, A_r, A_c)
+    xs = xs_ref[...].reshape(gt, a, f)  # sublane split: x[gg*A + c]
     y = jax.lax.dot_general(
-        w_ref[...],  # (gt, A_r, A_c)
-        xc_ref[...],  # (gt, A_c, F)
-        (((2,), (1,)), ((0,), (0,))),
+        w_t,
+        xs,
+        (((2,), (1,)), ((0,), (0,))),  # contract A_c, batch gg
         preferred_element_type=jnp.float32,
     )  # (gt, A_r, F)
-    o_ref[...] = (z_ref[...].astype(jnp.float32) + y.transpose(1, 0, 2)).astype(
-        o_ref.dtype
+    acc = (
+        z_ref[...].astype(jnp.float32)
+        + d_ref[...][:, :, None] * xd_ref[...].astype(jnp.float32)
+        + y.transpose(1, 0, 2)
     )
+    o_ref[...] = acc.astype(o_ref.dtype)
 
 
 def _pick_gt(g: int, a: int, f_tile: int, itemsize: int) -> int:
     """Largest g-block keeping the working set comfortably inside VMEM.
 
-    Empirical scoped-VMEM footprint (Mosaic compile reports): ~(4*itemsize+8)
-    bytes per (key, A, f_tile) element — double-buffered feature blocks plus
-    the f32 accumulator.  Target ~12 MB of the 16 MB VMEM; throughput is flat
-    across gt in [128, 256] on v5e, OOM by ~gt=500.  Multiples of 8 sublanes
-    (a Mosaic blocking requirement for the [G, A] diagonal)."""
+    K2 holds 4 double-buffered (·gt·A·f_tile) feature blocks plus the f32
+    accumulator; target ~12 MB of the 16 MB VMEM.  Multiples of 8 sublanes
+    (Mosaic blocking requirement for the flat/merged blocks)."""
     budget = 12 * 1024 * 1024
-    per_key = a * f_tile * (4 * max(itemsize, 2) + 8) + 2 * a * a * itemsize
-    gt = max(8, budget // per_key)
-    gt = (gt // 8) * 8
-    return max(8, min(gt, ((g + 7) // 8) * 8))
+    per_key = a * f_tile * (8 * max(itemsize, 2) + 4) + 4 * a * a * itemsize
+    gt = max(128, budget // per_key)
+    # Multiples of 128: the diagonal's (A, gt) block puts gt on the lane dim.
+    return max(128, (gt // 128) * 128)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def apply_hyper_pallas(d2, w1c, w2r, x, interpret: bool = False):
-    """One fused propagation: diag + A-pattern (bank ``w1c``, [g,c,r] layout)
-    + Aᵀ-pattern (bank ``w2r``, [g,r,c] layout) over hypercube-ordered
-    features ``x`` [A^n, F].
+def apply_hyper_pallas(d, w1rs, w2rs, x_rg, interpret: bool = False):
+    """One propagation: diag + A-pattern (bank ``w1rs``) + Aᵀ-pattern (bank
+    ``w2rs``), both banks r-major [r, g, c], over rg-layout features.
 
-    d2: [G, A] f32 diagonal; returns [A^n, F] in ``x.dtype`` (f32
-    accumulation inside the kernels).
+    d: [A, G] f32 diagonal (rg layout; flat order == node order)
+    x_rg: [A, G, F]; returns [A, G, F] in ``x_rg.dtype`` (f32 accumulation).
     """
-    g, a, _ = w1c.shape
-    n_hyper, f = x.shape
-    assert n_hyper == a * g, (n_hyper, a, g)
+    a, g, f = x_rg.shape
+    assert w1rs.shape == (a, g, a), (w1rs.shape, a, g)
+    n_hyper = a * g
     f_tile = f if f <= 256 else 128
     assert f % f_tile == 0
-    gt = _pick_gt(g, a, f_tile, x.dtype.itemsize)
+    gt = _pick_gt(g, a, f_tile, x_rg.dtype.itemsize)
     grid = (pl.cdiv(g, gt), f // f_tile)
 
-    x_gc = x.reshape(g, a, f)  # free view, contiguous per key
-    x_rg = x.reshape(a, g, f)  # free view, strided slabs per key
+    x_flat = x_rg.reshape(n_hyper, f)  # materialized relayout #1
 
-    spec_d = pl.BlockSpec((gt, a), lambda i, j: (i, 0))
-    spec_w = pl.BlockSpec((gt, a, a), lambda i, j: (i, 0, 0))
-    spec_gc = pl.BlockSpec((gt, a, f_tile), lambda i, j: (i, 0, j))
+    spec_w = pl.BlockSpec((a, gt, a), lambda i, j: (0, i, 0))
     spec_rg = pl.BlockSpec((a, gt, f_tile), lambda i, j: (0, i, j))
+    spec_flat = pl.BlockSpec((gt * a, f_tile), lambda i, j: (i, j))
+    spec_d = pl.BlockSpec((a, gt), lambda i, j: (0, i))
 
-    z = pl.pallas_call(
+    z_flat = pl.pallas_call(
         _k1_body,
         grid=grid,
-        in_specs=[spec_d, spec_w, spec_gc, spec_rg],
-        out_specs=spec_gc,
-        out_shape=jax.ShapeDtypeStruct((g, a, f), x.dtype),
+        in_specs=[spec_w, spec_rg],
+        out_specs=spec_flat,
+        out_shape=jax.ShapeDtypeStruct((n_hyper, f), x_rg.dtype),
         interpret=interpret,
-    )(d2, w1c, x_gc, x_rg)
+    )(w1rs, x_rg)
 
-    y = pl.pallas_call(
+    z_rg = z_flat.reshape(a, g, f)  # materialized relayout #2
+
+    return pl.pallas_call(
         _k2_body,
         grid=grid,
-        in_specs=[spec_w, spec_rg, spec_gc],
+        in_specs=[spec_d, spec_w, spec_rg, spec_flat, spec_rg],
         out_specs=spec_rg,
-        out_shape=jax.ShapeDtypeStruct((a, g, f), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((a, g, f), x_rg.dtype),
         interpret=interpret,
-    )(w2r, z.reshape(a, g, f), x_gc)
-
-    return y.reshape(n_hyper, f)
+    )(d, w2rs, z_rg, x_flat, x_rg)

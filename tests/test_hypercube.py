@@ -103,30 +103,31 @@ def test_build_adjacency_selects_hypercube_with_codes(trigram_graph):
 
 @pytest.mark.parametrize("matrix", ["mathcal_a_out", "mathcal_a_in"])
 def test_pallas_kernels_match_oracle(trigram_graph, matrix):
-    """The fused Pallas sweeps (interpret mode on CPU) reproduce the dense
-    oracle and the XLA einsum path exactly, forward and transpose."""
+    """The Pallas sweeps (interpret mode on CPU) reproduce the dense oracle
+    and the XLA einsum path exactly, forward and transpose."""
     from protgram_directgcn_tpu.ops.pallas_hyper import apply_hyper_pallas
 
     g = trigram_graph
     src, tgt, val = transforms.csr_to_coo_arrays(getattr(g, matrix)())
     codes, alpha = hypercube.vocab_char_codes(g.vocab)
     adj = hypercube.build_hypercube(src, tgt, val, codes, alpha)
+    a_dim, g_dim = adj.d.shape
     rng = np.random.default_rng(7)
     # F=128 exercises the single-f-tile path the TPU dispatch requires.
     x = rng.normal(size=(g.num_nodes, 128)).astype(np.float32)
-    xh = hypercube.embed_features(adj, jnp.asarray(x))
+    xh = hypercube.embed_features(adj, jnp.asarray(x)).reshape(a_dim, g_dim, 128)
 
-    out_pl = apply_hyper_pallas(adj.d, adj.wf_c, adj.wb_r, xh, interpret=True)
-    out_real = np.asarray(out_pl)[np.asarray(adj.node_map)]
+    out_pl = apply_hyper_pallas(adj.d, adj.wf_rs, adj.wb_rs, xh, interpret=True)
+    out_real = np.asarray(out_pl).reshape(-1, 128)[np.asarray(adj.node_map)]
     np.testing.assert_allclose(
         out_real, _dense_oracle(src, tgt, val, g.num_nodes, x), rtol=1e-4, atol=1e-5
     )
     # Transpose product = same kernels with the edge-pattern banks swapped.
-    out_t = apply_hyper_pallas(adj.d, adj.wb_c, adj.wf_r, xh, interpret=True)
+    out_t = apply_hyper_pallas(adj.d, adj.wb_rs, adj.wf_rs, xh, interpret=True)
     at = np.zeros((g.num_nodes, g.num_nodes))
     np.add.at(at, (tgt, src), val)
     np.testing.assert_allclose(
-        np.asarray(out_t)[np.asarray(adj.node_map)],
+        np.asarray(out_t).reshape(-1, 128)[np.asarray(adj.node_map)],
         at.T @ x,
         rtol=1e-4,
         atol=1e-5,
@@ -143,15 +144,44 @@ def test_pallas_bf16_within_mixed_precision_tolerance(trigram_graph):
         src, tgt, val, codes, alpha, weights_dtype=jnp.bfloat16
     )
     rng = np.random.default_rng(9)
+    a_dim, g_dim = adj.d.shape
     x = rng.normal(size=(g.num_nodes, 128)).astype(np.float32)
-    xh = hypercube.embed_features(adj, jnp.asarray(x)).astype(jnp.bfloat16)
-    out = apply_hyper_pallas(adj.d, adj.wf_c, adj.wb_r, xh, interpret=True)
+    xh = (
+        hypercube.embed_features(adj, jnp.asarray(x))
+        .astype(jnp.bfloat16)
+        .reshape(a_dim, g_dim, 128)
+    )
+    out = apply_hyper_pallas(adj.d, adj.wf_rs, adj.wb_rs, xh, interpret=True)
     assert out.dtype == jnp.bfloat16
     ref = _dense_oracle(src, tgt, val, g.num_nodes, x)
-    got = np.asarray(out, np.float64)[np.asarray(adj.node_map)]
+    got = np.asarray(out, np.float64).reshape(-1, 128)[np.asarray(adj.node_map)]
     # bf16 storage: ~3 decimal digits; degrees here are small.
     scale = np.abs(ref).max()
     assert np.abs(got - ref).max() <= 0.05 * scale
+
+
+def test_propagate_hyper_rg_layout_matches_flat(trigram_graph):
+    """propagate(adj, x) accepts flat [A^n, F] and rg [A, G, F] features and
+    returns identical values in the matching layout (incl. gradients)."""
+    g = trigram_graph
+    src, tgt, val = transforms.csr_to_coo_arrays(g.mathcal_a_out())
+    codes, alpha = hypercube.vocab_char_codes(g.vocab)
+    adj = hypercube.build_hypercube(src, tgt, val, codes, alpha)
+    a_dim, g_dim = adj.d.shape
+    rng_ = np.random.default_rng(13)
+    xh = jnp.asarray(rng_.normal(size=(adj.n_out, 16)).astype(np.float32))
+
+    flat = spmm.propagate(adj, xh)
+    rg = spmm.propagate(adj, xh.reshape(a_dim, g_dim, 16))
+    assert rg.shape == (a_dim, g_dim, 16)
+    np.testing.assert_allclose(np.asarray(flat), np.asarray(rg).reshape(-1, 16))
+
+    def loss(xv):
+        return jnp.sum(spmm.propagate(adj, xv) ** 2)
+
+    gf = np.asarray(jax.grad(loss)(xh))
+    gr = np.asarray(jax.grad(loss)(xh.reshape(a_dim, g_dim, 16)))
+    np.testing.assert_allclose(gf, gr.reshape(-1, 16), rtol=1e-5, atol=1e-6)
 
 
 def test_hypercube_rejects_unstructured_graph(rng):
