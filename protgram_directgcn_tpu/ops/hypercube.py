@@ -24,18 +24,17 @@ rate that bounds ELL/COO SpMM on this hardware (no SparseCore; see CLAUDE.md).
 
 TPU layout discipline (see ops/pallas_hyper.py for the measured rationale):
 features are carried in the **rg layout** ``[A, G, F]`` whose trailing dims
-tile perfectly, and both weight banks are stored **r-major** ``[A, G, A]`` —
-the only bank layout whose tile padding is mild (lanes A -> 128) instead of
-catastrophic (the g-major [G, A, A] layout pads (A, A) tiles to (32, 128),
-9.3x):
+tile perfectly, and each weight bank is stored in the layout its consuming
+kernel measured fastest: K1 (A pattern) takes g-major slabs, K2 (Aᵀ) takes
+r-major slabs (g-major pads (A, A) tiles to (32, 128) — 9.3x — but buys K1 a
+minor-dim MXU contraction worth ~4 ms/prop; r-major pads only lanes, 6.1x):
 
-    wf_rs[r, g, c] = weight of A-pattern  edge (r*G+g) -> (g*A+c)
-    wb_rs[r, g, c] = weight of Aᵀ-pattern edge (g*A+c) -> (r*G+g)
+    w*_gm[g, c, r]   g-major;  wf: edge (r*G+g) -> (g*A+c),  wb: the reverse
+    w*_rs[r, g, c]   r-major;  same values, sliced along G by K2
 
 The transpose product Mᵀx — the backward pass — is the SAME computation with
-the two banks swapped: under Mᵀ each A-pattern edge becomes an Aᵀ-pattern
-edge with identical (r, g, c) coordinates and vice versa.  Only two banks
-exist in total; forward consumes (wf_rs, wb_rs), backward (wb_rs, wf_rs).
+the two edge-pattern roles swapped at identical (r, g, c) coordinates:
+forward consumes (wf_gm, wb_rs), backward (wb_gm, wf_rs).
 
 The price of the format is padding the node space from |vocab| to A^n
 (absent n-grams are zero rows that never receive contributions).  For
@@ -72,8 +71,10 @@ class HypercubeAdj:
     """
 
     d: jnp.ndarray  # [A, G] f32 diagonal (rg layout; flat == node order)
-    wf_rs: jnp.ndarray  # [A, G, A]: wf_rs[r, g, c] = w(edge r·G+g -> g·A+c)
-    wb_rs: jnp.ndarray  # [A, G, A]: wb_rs[r, g, c] = w(edge g·A+c -> r·G+g)
+    wf_gm: jnp.ndarray  # [G, A, A]: wf_gm[g, c, r] = w(edge r·G+g -> g·A+c)
+    wb_gm: jnp.ndarray  # [G, A, A]: wb_gm[g, c, r] = w(edge g·A+c -> r·G+g)
+    wf_rs: jnp.ndarray  # [A, G, A]: wf_rs[r, g, c] = wf_gm[g, c, r]
+    wb_rs: jnp.ndarray  # [A, G, A]: wb_rs[r, g, c] = wb_gm[g, c, r]
     node_map: jnp.ndarray  # [N_real] int32 hypercube id per real node
 
     @property
@@ -129,9 +130,9 @@ def build_hypercube(
     g = a ** (n - 1)
     n_hyper = a**n
     itemsize = jnp.dtype(weights_dtype).itemsize
-    if 2 * g * a * a * itemsize > max_block_bytes:
+    if 4 * g * a * a * itemsize > max_block_bytes:
         raise BlockStructureError(
-            f"hypercube banks would need {2 * g * a * a * itemsize} bytes"
+            f"hypercube banks would need {4 * g * a * a * itemsize} bytes"
         )
 
     pows = a ** np.arange(n - 1, -1, -1, dtype=np.int64)
@@ -166,19 +167,22 @@ def build_hypercube(
     # are ~8 bytes/edge — a big win over the ~8 MB/s host->device tunnel.
     # A-pattern edge coords:  r = first[src], g = suffix key of src, c = last[tgt].
     # Aᵀ-pattern edge coords: r = first[tgt], g = prefix key of src,  c = last[src].
-    def scatter_bank(flat, vals):
+    def scatter_bank(flat, vals, shape):
         bank = (
-            jnp.zeros(a * g * a, jnp.float32)
+            jnp.zeros(g * a * a, jnp.float32)
             .at[jnp.asarray(flat, jnp.int32)]
             .add(jnp.asarray(vals))
-            .reshape(a, g, a)
+            .reshape(shape)
         )
         return bank.astype(weights_dtype)
 
+    gm, rs = (g, a, a), (a, g, a)
     return HypercubeAdj(
         d=jnp.asarray(d.reshape(a, g)),
-        wf_rs=scatter_bank((first[sf] * g + sk[sf]) * a + last[tf], vf),
-        wb_rs=scatter_bank((first[tb] * g + pk[sb]) * a + last[sb], vb),
+        wf_gm=scatter_bank((sk[sf] * a + last[tf]) * a + first[sf], vf, gm),
+        wb_gm=scatter_bank((pk[sb] * a + last[sb]) * a + first[tb], vb, gm),
+        wf_rs=scatter_bank((first[sf] * g + sk[sf]) * a + last[tf], vf, rs),
+        wb_rs=scatter_bank((first[tb] * g + pk[sb]) * a + last[sb], vb, rs),
         node_map=jnp.asarray(hyper.astype(np.int32)),
     )
 
@@ -216,41 +220,41 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _hyper_apply(d, w1rs, w2rs, x_rg):
-    """M x in rg layout, where ``w1rs`` is the A-pattern bank and ``w2rs``
-    the Aᵀ-pattern bank (both r-major [r, g, c]).
+def _hyper_apply(d, w1gm, w2rs, x_rg):
+    """M x in rg layout, where ``w1gm`` is the A-pattern bank (g-major
+    [g, c, r]) and ``w2rs`` the Aᵀ-pattern bank (r-major [r, g, c]).
 
-    The transpose product Mᵀx is the same call with the banks swapped:
-    transposing M swaps the two edge-pattern roles at identical (r, g, c)
-    coordinates.
+    The transpose product Mᵀx is the same call with the dual banks
+    (wb_gm, wf_rs): transposing M swaps the two edge-pattern roles at
+    identical (r, g, c) coordinates.
     """
     a, g = d.shape
     f = x_rg.shape[2]
     if _use_pallas() and f % 128 == 0 and g >= 128:
         from protgram_directgcn_tpu.ops import pallas_hyper
 
-        return pallas_hyper.apply_hyper_pallas(d, w1rs, w2rs, x_rg)
+        return pallas_hyper.apply_hyper_pallas(d, w1gm, w2rs, x_rg)
     x_gc = x_rg.reshape(g, a, f)  # order-preserving view of the same nodes
-    y1 = _einsum("rgc,rgf->gcf", w1rs, x_rg)  # A  pattern -> node order (g, c)
+    y1 = _einsum("gcr,rgf->gcf", w1gm, x_rg)  # A  pattern -> node order (g, c)
     y2 = _einsum("rgc,gcf->rgf", w2rs, x_gc)  # Aᵀ pattern -> node order (r, g)
     out = d[:, :, None] * x_rg.astype(jnp.float32) + y1.reshape(a, g, f) + y2
     return out.astype(x_rg.dtype)
 
 
 @jax.custom_vjp
-def _propagate_hyper(d, wf_rs, wb_rs, x):
-    return _hyper_apply(d, wf_rs, wb_rs, x)
+def _propagate_hyper(d, wf_gm, wb_gm, wf_rs, wb_rs, x):
+    return _hyper_apply(d, wf_gm, wb_rs, x)
 
 
-def _propagate_hyper_fwd(d, wf_rs, wb_rs, x):
-    return _hyper_apply(d, wf_rs, wb_rs, x), (d, wf_rs, wb_rs)
+def _propagate_hyper_fwd(d, wf_gm, wb_gm, wf_rs, wb_rs, x):
+    return _hyper_apply(d, wf_gm, wb_rs, x), (d, wb_gm, wf_rs)
 
 
 def _propagate_hyper_bwd(res, grad):
-    d, wf_rs, wb_rs = res
-    dx = _hyper_apply(d, wb_rs, wf_rs, grad)  # Mᵀ grad: edge-pattern roles swap
+    d, wb_gm, wf_rs = res
+    dx = _hyper_apply(d, wb_gm, wf_rs, grad)  # Mᵀ grad: edge-pattern roles swap
     zeros = lambda ref: jnp.zeros_like(ref)  # noqa: E731 — graph is constant
-    return (zeros(d), zeros(wf_rs), zeros(wb_rs), dx)
+    return (zeros(d), zeros(wb_gm), zeros(wb_gm), zeros(wf_rs), zeros(wf_rs), dx)
 
 
 _propagate_hyper.defvjp(_propagate_hyper_fwd, _propagate_hyper_bwd)
@@ -266,5 +270,7 @@ def propagate_hyper(adj: HypercubeAdj, x: jnp.ndarray) -> jnp.ndarray:
     a, g = adj.d.shape
     flat_in = x.ndim == 2
     x_rg = x.reshape(a, g, x.shape[-1]) if flat_in else x
-    out = _propagate_hyper(adj.d, adj.wf_rs, adj.wb_rs, x_rg)
+    out = _propagate_hyper(
+        adj.d, adj.wf_gm, adj.wb_gm, adj.wf_rs, adj.wb_rs, x_rg
+    )
     return out.reshape(a * g, -1) if flat_in else out

@@ -58,18 +58,20 @@ from jax.experimental import pallas as pl
 
 
 def _k1_body(w_ref, xr_ref, o_ref):
-    """z_flat[i*gt*A :] = A-pattern partial: sum_r wf[r,g,c] x[r*G+g]."""
-    gt = xr_ref.shape[1]
-    a, f = xr_ref.shape[0], xr_ref.shape[2]
-    w_t = w_ref[...].transpose(1, 0, 2)  # (gt, A_r, A_c)
+    """z[g, c, f] = A-pattern partial: sum_r wf[g,c,r] x[r*G+g] (gc blocks).
+
+    Measured variants (v5e, 5-gram): this form — g-major bank, minor-dim
+    contraction, 3-D gc output — runs at HBM bandwidth.  Contracting the
+    sublane dim of an r-major bank slab costs ~+4 ms/prop in lowering, and
+    writing flat via an in-register sublane merge costs ~+5 ms/prop."""
     xr_t = xr_ref[...].transpose(1, 0, 2)  # (gt, A_r, F)
     y = jax.lax.dot_general(
-        w_t,
+        w_ref[...],  # (gt, A_c, A_r)
         xr_t,
-        (((1,), (1,)), ((0,), (0,))),  # contract A_r, batch g
+        (((2,), (1,)), ((0,), (0,))),  # contract A_r, batch g
         preferred_element_type=jnp.float32,
     )  # (gt, A_c, F)
-    o_ref[...] = y.reshape(gt * a, f).astype(o_ref.dtype)  # sublane merge
+    o_ref[...] = y.astype(o_ref.dtype)
 
 
 def _k2_body(d_ref, w_ref, z_ref, xs_ref, xd_ref, o_ref):
@@ -91,56 +93,57 @@ def _k2_body(d_ref, w_ref, z_ref, xs_ref, xd_ref, o_ref):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
-def _pick_gt(g: int, a: int, f_tile: int, itemsize: int) -> int:
-    """Largest g-block keeping the working set comfortably inside VMEM.
-
-    K2 holds 4 double-buffered (·gt·A·f_tile) feature blocks plus the f32
-    accumulator; target ~12 MB of the 16 MB VMEM.  Multiples of 8 sublanes
-    (Mosaic blocking requirement for the flat/merged blocks)."""
+def _pick_gt(g: int, a: int, f_tile: int, itemsize: int, blocks: int) -> int:
+    """Largest g-block keeping ``blocks`` double-buffered (·gt·A·f_tile)
+    feature blocks plus the f32 accumulator comfortably inside VMEM
+    (target ~12 MB of 16).  Multiples of 128: K2's diagonal (A, gt) block
+    puts gt on the lane dim."""
     budget = 12 * 1024 * 1024
-    per_key = a * f_tile * (8 * max(itemsize, 2) + 4) + 4 * a * a * itemsize
+    per_key = a * f_tile * (2 * blocks * max(itemsize, 2) + 4) + 4 * a * a * itemsize
     gt = max(128, budget // per_key)
-    # Multiples of 128: the diagonal's (A, gt) block puts gt on the lane dim.
     return max(128, (gt // 128) * 128)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def apply_hyper_pallas(d, w1rs, w2rs, x_rg, interpret: bool = False):
-    """One propagation: diag + A-pattern (bank ``w1rs``) + Aᵀ-pattern (bank
-    ``w2rs``), both banks r-major [r, g, c], over rg-layout features.
+def apply_hyper_pallas(d, w1gm, w2rs, x_rg, interpret: bool = False):
+    """One propagation: diag + A-pattern (bank ``w1gm``, g-major [g, c, r])
+    + Aᵀ-pattern (bank ``w2rs``, r-major [r, g, c]) over rg-layout features.
 
     d: [A, G] f32 diagonal (rg layout; flat order == node order)
     x_rg: [A, G, F]; returns [A, G, F] in ``x_rg.dtype`` (f32 accumulation).
     """
     a, g, f = x_rg.shape
-    assert w1rs.shape == (a, g, a), (w1rs.shape, a, g)
+    assert w1gm.shape == (g, a, a), (w1gm.shape, a, g)
     n_hyper = a * g
     f_tile = f if f <= 256 else 128
     assert f % f_tile == 0
-    gt = _pick_gt(g, a, f_tile, x_rg.dtype.itemsize)
-    grid = (pl.cdiv(g, gt), f // f_tile)
+    gt1 = _pick_gt(g, a, f_tile, x_rg.dtype.itemsize, blocks=2)
+    gt2 = _pick_gt(g, a, f_tile, x_rg.dtype.itemsize, blocks=5)
 
     x_flat = x_rg.reshape(n_hyper, f)  # materialized relayout #1
 
-    spec_w = pl.BlockSpec((a, gt, a), lambda i, j: (0, i, 0))
-    spec_rg = pl.BlockSpec((a, gt, f_tile), lambda i, j: (0, i, j))
-    spec_flat = pl.BlockSpec((gt * a, f_tile), lambda i, j: (i, j))
-    spec_d = pl.BlockSpec((a, gt), lambda i, j: (0, i))
-
-    z_flat = pl.pallas_call(
+    z_gc = pl.pallas_call(
         _k1_body,
-        grid=grid,
-        in_specs=[spec_w, spec_rg],
-        out_specs=spec_flat,
-        out_shape=jax.ShapeDtypeStruct((n_hyper, f), x_rg.dtype),
+        grid=(pl.cdiv(g, gt1), f // f_tile),
+        in_specs=[
+            pl.BlockSpec((gt1, a, a), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((a, gt1, f_tile), lambda i, j: (0, i, j)),
+        ],
+        out_specs=pl.BlockSpec((gt1, a, f_tile), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((g, a, f), x_rg.dtype),
         interpret=interpret,
-    )(w1rs, x_rg)
+    )(w1gm, x_rg)
 
-    z_rg = z_flat.reshape(a, g, f)  # materialized relayout #2
+    z_rg = z_gc.reshape(a, g, f)  # materialized relayout #2 (order-preserving)
+
+    spec_w = pl.BlockSpec((a, gt2, a), lambda i, j: (0, i, 0))
+    spec_rg = pl.BlockSpec((a, gt2, f_tile), lambda i, j: (0, i, j))
+    spec_flat = pl.BlockSpec((gt2 * a, f_tile), lambda i, j: (i, j))
+    spec_d = pl.BlockSpec((a, gt2), lambda i, j: (0, i))
 
     return pl.pallas_call(
         _k2_body,
-        grid=grid,
+        grid=(pl.cdiv(g, gt2), f // f_tile),
         in_specs=[spec_d, spec_w, spec_rg, spec_flat, spec_rg],
         out_specs=spec_rg,
         out_shape=jax.ShapeDtypeStruct((a, g, f), x_rg.dtype),

@@ -117,13 +117,13 @@ def test_pallas_kernels_match_oracle(trigram_graph, matrix):
     x = rng.normal(size=(g.num_nodes, 128)).astype(np.float32)
     xh = hypercube.embed_features(adj, jnp.asarray(x)).reshape(a_dim, g_dim, 128)
 
-    out_pl = apply_hyper_pallas(adj.d, adj.wf_rs, adj.wb_rs, xh, interpret=True)
+    out_pl = apply_hyper_pallas(adj.d, adj.wf_gm, adj.wb_rs, xh, interpret=True)
     out_real = np.asarray(out_pl).reshape(-1, 128)[np.asarray(adj.node_map)]
     np.testing.assert_allclose(
         out_real, _dense_oracle(src, tgt, val, g.num_nodes, x), rtol=1e-4, atol=1e-5
     )
     # Transpose product = same kernels with the edge-pattern banks swapped.
-    out_t = apply_hyper_pallas(adj.d, adj.wb_rs, adj.wf_rs, xh, interpret=True)
+    out_t = apply_hyper_pallas(adj.d, adj.wb_gm, adj.wf_rs, xh, interpret=True)
     at = np.zeros((g.num_nodes, g.num_nodes))
     np.add.at(at, (tgt, src), val)
     np.testing.assert_allclose(
@@ -151,7 +151,7 @@ def test_pallas_bf16_within_mixed_precision_tolerance(trigram_graph):
         .astype(jnp.bfloat16)
         .reshape(a_dim, g_dim, 128)
     )
-    out = apply_hyper_pallas(adj.d, adj.wf_rs, adj.wb_rs, xh, interpret=True)
+    out = apply_hyper_pallas(adj.d, adj.wf_gm, adj.wb_rs, xh, interpret=True)
     assert out.dtype == jnp.bfloat16
     ref = _dense_oracle(src, tgt, val, g.num_nodes, x)
     got = np.asarray(out, np.float64).reshape(-1, 128)[np.asarray(adj.node_map)]
