@@ -176,10 +176,12 @@ def _layer_apply(
             [p["w_main_in"] + p["w_shared"], p["w_main_out"] + p["w_shared"],
              p["w_und"] + p["w_shared"]], axis=1,
         )
-        proj = x.astype(ct) @ w_cat.astype(ct)  # [N, 3*out]
+        proj = x.astype(ct) @ w_cat.astype(ct)  # [..., 3*out]
         out_dim = p["w_main_in"].shape[1]
         x_in, x_out, x_und = (
-            proj[:, :out_dim], proj[:, out_dim : 2 * out_dim], proj[:, 2 * out_dim :]
+            proj[..., :out_dim],
+            proj[..., out_dim : 2 * out_dim],
+            proj[..., 2 * out_dim :],
         )
         ic = propagate(graph.p_in, x_in, use_pallas) + p["b_main_in"] + p["b_shared_in"]
         oc = propagate(graph.p_out, x_out, use_pallas) + p["b_main_out"] + p["b_shared_out"]
@@ -202,6 +204,17 @@ def _layer_apply(
         ) + (propagate(graph.p_und, xs, use_pallas) + p["b_shared_und"])
 
     (c_in, c_out, c_dir, c_und, c_all), const = _gather_node_params(p, original_indices)
+    if x.ndim == 3:
+        # rg-layout carry (hypercube graphs): per-node params follow the
+        # same order-preserving [N, ·] -> [A, G, ·] reshape as the features.
+        lead = x.shape[:2]
+        reshape3 = lambda t: (  # noqa: E731
+            t.reshape(lead + t.shape[-1:]) if getattr(t, "ndim", 0) == 2 else t
+        )
+        c_in, c_out, c_dir, c_und, c_all = map(
+            reshape3, (c_in, c_out, c_dir, c_und, c_all)
+        )
+        const = reshape3(const)
     directed = c_dir * (c_in * ic + c_out * oc)
     undirected = c_und * uc
     return c_all * (undirected + directed) + const
@@ -234,6 +247,18 @@ def directgcn_apply(
     """Returns (log_softmax logits, L2-normalized embeddings)
     (reference: protgram_directgcn.py:195-222)."""
     h = _apply_pe(params, x, cfg)
+    # Hypercube graphs: carry features in the kernels' native rg layout
+    # [A, G, F] through every layer (all ops here are row-wise), so the 3
+    # propagations per layer never pay a flat<->rg relayout on TPU.  The
+    # external [N, ·] contract is restored at the exit.
+    rg_lead = None
+    if original_indices is None and h.ndim == 2:
+        from protgram_directgcn_tpu.ops.hypercube import HypercubeAdj
+
+        mats = (graph.p_in, graph.p_out, graph.p_und)
+        if all(isinstance(m, HypercubeAdj) for m in mats) and h.shape[0] == mats[0].n_out:
+            rg_lead = mats[0].feature_shape
+            h = h.reshape(rg_lead + h.shape[-1:])
     n_layers = len(params["layers"])
     if train and rng is not None:
         drop_keys = jax.random.split(rng, n_layers + 1)
@@ -261,4 +286,8 @@ def directgcn_apply(
 
     norm = jnp.linalg.norm(h, axis=-1, keepdims=True)
     normalized = h / (norm + cfg.l2_eps)
-    return jax.nn.log_softmax(logits, axis=-1), normalized
+    log_sm = jax.nn.log_softmax(logits, axis=-1)
+    if rg_lead is not None:
+        log_sm = log_sm.reshape((-1,) + log_sm.shape[2:])
+        normalized = normalized.reshape((-1,) + normalized.shape[2:])
+    return log_sm, normalized

@@ -196,3 +196,29 @@ def test_hypercube_rejects_unstructured_graph(rng):
         hypercube.build_hypercube(
             np.array([0]), np.array([1]), np.array([1.0]), codes[:, :1], alpha
         )
+
+
+def test_model_rg_carry_matches_indexed_path(trigram_graph):
+    """directgcn_apply carries rg-layout features internally on hypercube
+    graphs; forcing the flat path (identity original_indices disables the
+    rg carry) must give identical outputs."""
+    from protgram_directgcn_tpu.models.directgcn import (
+        DirectGCNConfig,
+        directgcn_apply,
+        init_directgcn_params,
+    )
+
+    dg = trigram_graph.to_device(mode="hypercube", feat_dim=32)
+    n = dg.num_nodes
+    cfg = DirectGCNConfig(
+        layer_dims=(32, 16), num_nodes=n, num_classes=5, n_gram_len=3
+    )
+    params = init_directgcn_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, 32))
+    log_rg, emb_rg = directgcn_apply(params, dg, x, cfg)
+    log_fl, emb_fl = directgcn_apply(
+        params, dg, x, cfg, original_indices=jnp.arange(n)
+    )
+    assert log_rg.shape == (n, 5) and emb_rg.shape == (n, 16)
+    np.testing.assert_allclose(np.asarray(log_rg), np.asarray(log_fl), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb_rg), np.asarray(emb_fl), rtol=1e-5, atol=1e-6)
