@@ -51,6 +51,7 @@ every off-diagonal entry fit the A or Aᵀ key pattern).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Tuple
 
@@ -220,9 +221,10 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _hyper_apply(d, w1gm, w2rs, x_rg):
-    """M x in rg layout, where ``w1gm`` is the A-pattern bank (g-major
-    [g, c, r]) and ``w2rs`` the Aᵀ-pattern bank (r-major [r, g, c]).
+def _hyper_apply(d, w1gm, w2rs, x_rg, scale: float = 1.0, shift: float = 0.0):
+    """scale*(M x) + shift in rg layout, where ``w1gm`` is the A-pattern bank
+    (g-major [g, c, r]) and ``w2rs`` the Aᵀ-pattern bank (r-major [r, g, c]).
+    The affine epilogue is fused into the kernels' output cast (free).
 
     The transpose product Mᵀx is the same call with the dual banks
     (wb_gm, wf_rs): transposing M swaps the two edge-pattern roles at
@@ -233,11 +235,17 @@ def _hyper_apply(d, w1gm, w2rs, x_rg):
     if _use_pallas() and f % 128 == 0 and g >= 128:
         from protgram_directgcn_tpu.ops import pallas_hyper
 
-        return pallas_hyper.apply_hyper_pallas(d, w1gm, w2rs, x_rg)
+        return pallas_hyper.apply_hyper_pallas(
+            d, w1gm, w2rs, x_rg, scale=scale, shift=shift
+        )
     x_gc = x_rg.reshape(g, a, f)  # order-preserving view of the same nodes
     y1 = _einsum("gcr,rgf->gcf", w1gm, x_rg)  # A  pattern -> node order (g, c)
     y2 = _einsum("rgc,gcf->rgf", w2rs, x_gc)  # Aᵀ pattern -> node order (r, g)
     out = d[:, :, None] * x_rg.astype(jnp.float32) + y1.reshape(a, g, f) + y2
+    if scale != 1.0:
+        out = out * scale
+    if shift != 0.0:
+        out = out + shift
     return out.astype(x_rg.dtype)
 
 
@@ -260,6 +268,28 @@ def _propagate_hyper_bwd(res, grad):
 _propagate_hyper.defvjp(_propagate_hyper_fwd, _propagate_hyper_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _propagate_hyper_affine(scale, shift, d, wf_gm, wb_gm, wf_rs, wb_rs, x):
+    return _hyper_apply(d, wf_gm, wb_rs, x, scale, shift)
+
+
+def _propagate_hyper_affine_fwd(scale, shift, d, wf_gm, wb_gm, wf_rs, wb_rs, x):
+    out = _hyper_apply(d, wf_gm, wb_rs, x, scale, shift)
+    return out, (d, wb_gm, wf_rs)
+
+
+def _propagate_hyper_affine_bwd(scale, shift, res, grad):
+    d, wb_gm, wf_rs = res
+    # d(scale*Mx + shift)/dx applied to grad = scale * Mᵀ grad — the scale
+    # rides the backward kernels' epilogue too.
+    dx = _hyper_apply(d, wb_gm, wf_rs, grad, scale, 0.0)
+    zeros = lambda ref: jnp.zeros_like(ref)  # noqa: E731 — graph is constant
+    return (zeros(d), zeros(wb_gm), zeros(wb_gm), zeros(wf_rs), zeros(wf_rs), dx)
+
+
+_propagate_hyper_affine.defvjp(_propagate_hyper_affine_fwd, _propagate_hyper_affine_bwd)
+
+
 def propagate_hyper(adj: HypercubeAdj, x: jnp.ndarray) -> jnp.ndarray:
     """out[i] = sum over edges (j -> i) of w * x[j], both in hypercube ids.
 
@@ -272,5 +302,21 @@ def propagate_hyper(adj: HypercubeAdj, x: jnp.ndarray) -> jnp.ndarray:
     x_rg = x.reshape(a, g, x.shape[-1]) if flat_in else x
     out = _propagate_hyper(
         adj.d, adj.wf_gm, adj.wb_gm, adj.wf_rs, adj.wb_rs, x_rg
+    )
+    return out.reshape(a * g, -1) if flat_in else out
+
+
+def propagate_hyper_affine(
+    adj: HypercubeAdj, x: jnp.ndarray, scale: float, shift: float
+) -> jnp.ndarray:
+    """Fused ``scale*(M x) + shift`` — the affine epilogue rides the
+    kernels' output cast for free (layers scale/bias right after
+    propagation).  Layout contract as in :func:`propagate_hyper`."""
+    a, g = adj.d.shape
+    flat_in = x.ndim == 2
+    x_rg = x.reshape(a, g, x.shape[-1]) if flat_in else x
+    out = _propagate_hyper_affine(
+        float(scale), float(shift), adj.d, adj.wf_gm, adj.wb_gm,
+        adj.wf_rs, adj.wb_rs, x_rg,
     )
     return out.reshape(a * g, -1) if flat_in else out

@@ -74,8 +74,11 @@ def _k1_body(w_ref, xr_ref, o_ref):
     o_ref[...] = y.astype(o_ref.dtype)
 
 
-def _k2_body(d_ref, w_ref, z_ref, xs_ref, xd_ref, o_ref):
-    """y[r, gg] = z + d*x + sum_c wb[r, gg, c] x[gg*A + c] (one gg-block)."""
+def _k2_body(d_ref, w_ref, z_ref, xs_ref, xd_ref, o_ref, *, scale, shift):
+    """y[r, gg] = scale*(z + d*x + sum_c wb[r,gg,c] x[gg*A+c]) + shift.
+
+    The affine epilogue rides the output cast for free — production layers
+    scale/bias right after propagation, so this fusion is the natural API."""
     a, gt, f = z_ref.shape
     w_t = w_ref[...].transpose(1, 0, 2)  # (gt, A_r, A_c)
     xs = xs_ref[...].reshape(gt, a, f)  # sublane split: x[gg*A + c]
@@ -90,6 +93,10 @@ def _k2_body(d_ref, w_ref, z_ref, xs_ref, xd_ref, o_ref):
         + d_ref[...][:, :, None] * xd_ref[...].astype(jnp.float32)
         + y.transpose(1, 0, 2)
     )
+    if scale != 1.0:
+        acc = acc * scale
+    if shift != 0.0:
+        acc = acc + shift
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
@@ -104,10 +111,13 @@ def _pick_gt(g: int, a: int, f_tile: int, itemsize: int, blocks: int) -> int:
     return max(128, (gt // 128) * 128)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def apply_hyper_pallas(d, w1gm, w2rs, x_rg, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "scale", "shift"))
+def apply_hyper_pallas(
+    d, w1gm, w2rs, x_rg, interpret: bool = False, scale: float = 1.0, shift: float = 0.0
+):
     """One propagation: diag + A-pattern (bank ``w1gm``, g-major [g, c, r])
-    + Aᵀ-pattern (bank ``w2rs``, r-major [r, g, c]) over rg-layout features.
+    + Aᵀ-pattern (bank ``w2rs``, r-major [r, g, c]) over rg-layout features,
+    with an optional fused affine epilogue ``out = scale*(M x) + shift``.
 
     d: [A, G] f32 diagonal (rg layout; flat order == node order)
     x_rg: [A, G, F]; returns [A, G, F] in ``x_rg.dtype`` (f32 accumulation).
@@ -142,7 +152,7 @@ def apply_hyper_pallas(d, w1gm, w2rs, x_rg, interpret: bool = False):
     spec_d = pl.BlockSpec((a, gt2), lambda i, j: (0, i))
 
     return pl.pallas_call(
-        _k2_body,
+        functools.partial(_k2_body, scale=scale, shift=shift),
         grid=(pl.cdiv(g, gt2), f // f_tile),
         in_specs=[spec_d, spec_w, spec_rg, spec_flat, spec_rg],
         out_specs=spec_rg,

@@ -496,3 +496,16 @@ def propagate(adj: Adjacency, x: jnp.ndarray, use_pallas: bool = False) -> jnp.n
     if isinstance(adj, _halo.HaloAdj):
         return _halo.propagate_halo(adj, x)
     raise TypeError(f"Unknown adjacency type: {type(adj)}")
+
+
+def propagate_affine(adj: Adjacency, x: jnp.ndarray, scale: float, shift: float) -> jnp.ndarray:
+    """Fused ``scale * propagate(adj, x) + shift``.
+
+    Production layers apply a scale/bias right after aggregation; formats
+    with a fused epilogue (the hypercube Pallas kernels) run it inside the
+    output cast for free, others fall back to an XLA elementwise."""
+    from protgram_directgcn_tpu.ops import hypercube as _hyper
+
+    if isinstance(adj, _hyper.HypercubeAdj):
+        return _hyper.propagate_hyper_affine(adj, x, scale, shift)
+    return propagate(adj, x) * scale + shift

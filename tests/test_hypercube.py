@@ -222,3 +222,32 @@ def test_model_rg_carry_matches_indexed_path(trigram_graph):
     assert log_rg.shape == (n, 5) and emb_rg.shape == (n, 16)
     np.testing.assert_allclose(np.asarray(log_rg), np.asarray(log_fl), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(emb_rg), np.asarray(emb_fl), rtol=1e-5, atol=1e-6)
+
+
+def test_propagate_affine_fused_epilogue(trigram_graph):
+    """propagate_affine == scale*propagate + shift, values and gradients
+    (the hypercube path fuses the epilogue into the kernel output cast)."""
+    g = trigram_graph
+    src, tgt, val = transforms.csr_to_coo_arrays(g.mathcal_a_out())
+    codes, alpha = hypercube.vocab_char_codes(g.vocab)
+    adj = hypercube.build_hypercube(src, tgt, val, codes, alpha)
+    rng_ = np.random.default_rng(17)
+    xh = jnp.asarray(rng_.normal(size=(adj.n_out, 16)).astype(np.float32))
+
+    got = spmm.propagate_affine(adj, xh, 0.25, 0.5)
+    ref = spmm.propagate(adj, xh) * 0.25 + 0.5
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    seed = jnp.asarray(rng_.normal(size=xh.shape).astype(np.float32))
+    ga = jax.grad(lambda q: jnp.sum(spmm.propagate_affine(adj, q, 0.25, 0.5) * seed))(xh)
+    gr = jax.grad(lambda q: jnp.sum((spmm.propagate(adj, q) * 0.25 + 0.5) * seed))(xh)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gr), rtol=1e-5, atol=1e-6)
+
+    # ELL fallback path keeps the same semantics.
+    ell = spmm.build_ell(src, tgt, val, g.num_nodes)
+    x2 = jnp.asarray(rng_.normal(size=(g.num_nodes, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spmm.propagate_affine(ell, x2, 2.0, -1.0)),
+        np.asarray(spmm.propagate(ell, x2)) * 2.0 - 1.0,
+        rtol=1e-5, atol=1e-6,
+    )
