@@ -112,10 +112,27 @@ class NgramGraph:
             )
 
             codes, alpha = vocab_char_codes(self.vocab)
+            # Three matrices share one chip: prefer the fast dual-layout
+            # banks while all three fit a ~16 GB HBM alongside features and
+            # optimizer state, else fall back to the memory-lean r-major-only
+            # banks (slightly slower K1 — see ops/hypercube.py).
+            from protgram_directgcn_tpu.ops.block import BlockStructureError
+            from protgram_directgcn_tpu.ops.hypercube import hypercube_bank_bytes
+
+            per_matrix_budget = (10 << 30) // 3
 
             def hyper_from(m):
                 s, t, v = transforms.csr_to_coo_arrays(m)
-                return build_hypercube(s, t, v, codes, alpha, weights_dtype=dtype)
+                try:
+                    return build_hypercube(
+                        s, t, v, codes, alpha, weights_dtype=dtype,
+                        bank_layouts="dual", max_block_bytes=per_matrix_budget,
+                    )
+                except BlockStructureError:
+                    return build_hypercube(
+                        s, t, v, codes, alpha, weights_dtype=dtype,
+                        bank_layouts="rs", max_block_bytes=per_matrix_budget,
+                    )
 
             p_in = hyper_from(self.mathcal_a_in())
             return DeviceGraph(

@@ -53,7 +53,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,11 +72,16 @@ class HypercubeAdj:
     """
 
     d: jnp.ndarray  # [A, G] f32 diagonal (rg layout; flat == node order)
-    wf_gm: jnp.ndarray  # [G, A, A]: wf_gm[g, c, r] = w(edge r·G+g -> g·A+c)
-    wb_gm: jnp.ndarray  # [G, A, A]: wb_gm[g, c, r] = w(edge g·A+c -> r·G+g)
+    wf_gm: Optional[jnp.ndarray]  # [G, A, A]: wf_gm[g,c,r] = w(r·G+g -> g·A+c)
+    wb_gm: Optional[jnp.ndarray]  # [G, A, A]: wb_gm[g,c,r] = w(g·A+c -> r·G+g)
     wf_rs: jnp.ndarray  # [A, G, A]: wf_rs[r, g, c] = wf_gm[g, c, r]
     wb_rs: jnp.ndarray  # [A, G, A]: wb_rs[r, g, c] = wb_gm[g, c, r]
     node_map: jnp.ndarray  # [N_real] int32 hypercube id per real node
+    # wf_gm/wb_gm are None in the memory-lean "rs" bank mode: K1 then runs
+    # the r-major contraction (~+4 ms/prop on v5e) but device bank memory
+    # drops from ~2.5x to ~1x of the padded r-major pair — the difference
+    # between fitting and not fitting 3 matrices of a 5-gram graph on one
+    # 16 GB chip.
 
     @property
     def n_out(self) -> int:
@@ -110,19 +115,27 @@ def build_hypercube(
     val: np.ndarray,
     codes: np.ndarray,
     alphabet_size: int,
-    max_block_bytes: int = 2 << 30,
+    max_block_bytes: int = 6 << 30,
     weights_dtype: jnp.dtype = jnp.float32,
+    bank_layouts: str = "dual",
 ) -> HypercubeAdj:
     """Factor a coalesced COO matrix over positional hypercube ids.
 
     ``codes[u]`` are the alphabet indices of node u's characters.  Raises
     BlockStructureError when an off-diagonal edge fits neither key pattern,
     when n < 2 (1-grams have no key structure — use the dense format), or
-    when the hypercube blocks would exceed ``max_block_bytes``.
+    when the banks' PADDED device footprint (TPU tile padding included)
+    would exceed ``max_block_bytes``.
 
     ``weights_dtype=bfloat16`` halves the HBM traffic of the weight banks
     (f32 accumulation regardless); the diagonal stays f32.
+
+    ``bank_layouts``: "dual" stores each bank in both the g-major layout K1
+    prefers and the r-major layout K2 needs; "rs" stores r-major only
+    (memory-lean, slightly slower K1).
     """
+    if bank_layouts not in ("dual", "rs"):
+        raise ValueError(f"bank_layouts must be 'dual' or 'rs': {bank_layouts}")
     codes = np.asarray(codes, np.int64)
     n_real, n = codes.shape
     a = int(alphabet_size)
@@ -131,9 +144,10 @@ def build_hypercube(
     g = a ** (n - 1)
     n_hyper = a**n
     itemsize = jnp.dtype(weights_dtype).itemsize
-    if 4 * g * a * a * itemsize > max_block_bytes:
+    padded = hypercube_bank_bytes(g, a, itemsize, bank_layouts)
+    if padded > max_block_bytes:
         raise BlockStructureError(
-            f"hypercube banks would need {4 * g * a * a * itemsize} bytes"
+            f"hypercube banks would occupy {padded} padded bytes on device"
         )
 
     pows = a ** np.arange(n - 1, -1, -1, dtype=np.int64)
@@ -178,14 +192,25 @@ def build_hypercube(
         return bank.astype(weights_dtype)
 
     gm, rs = (g, a, a), (a, g, a)
+    dual = bank_layouts == "dual"
     return HypercubeAdj(
         d=jnp.asarray(d.reshape(a, g)),
-        wf_gm=scatter_bank((sk[sf] * a + last[tf]) * a + first[sf], vf, gm),
-        wb_gm=scatter_bank((pk[sb] * a + last[sb]) * a + first[tb], vb, gm),
+        wf_gm=scatter_bank((sk[sf] * a + last[tf]) * a + first[sf], vf, gm) if dual else None,
+        wb_gm=scatter_bank((pk[sb] * a + last[sb]) * a + first[tb], vb, gm) if dual else None,
         wf_rs=scatter_bank((first[sf] * g + sk[sf]) * a + last[tf], vf, rs),
         wb_rs=scatter_bank((first[tb] * g + pk[sb]) * a + last[sb], vb, rs),
         node_map=jnp.asarray(hyper.astype(np.int32)),
     )
+
+
+def hypercube_bank_bytes(g: int, a: int, itemsize: int, bank_layouts: str = "dual") -> int:
+    """Padded device footprint of the weight banks (TPU tiles the last two
+    dims: sublanes to 8 (4-byte) / 16 (2-byte), lanes to 128)."""
+    sub = 16 if itemsize <= 2 else 8
+    lanes = ((a + 127) // 128) * 128
+    gm_pad = g * ((a + sub - 1) // sub) * sub * lanes * itemsize
+    rs_pad = a * g * lanes * itemsize  # sublane dim g is effectively unpadded
+    return 2 * rs_pad + (2 * gm_pad if bank_layouts == "dual" else 0)
 
 
 def embed_features(adj: HypercubeAdj, x_real: jnp.ndarray) -> jnp.ndarray:
@@ -221,13 +246,14 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _hyper_apply(d, w1gm, w2rs, x_rg, scale: float = 1.0, shift: float = 0.0):
-    """scale*(M x) + shift in rg layout, where ``w1gm`` is the A-pattern bank
-    (g-major [g, c, r]) and ``w2rs`` the Aᵀ-pattern bank (r-major [r, g, c]).
-    The affine epilogue is fused into the kernels' output cast (free).
+def _hyper_apply(d, w1, w2rs, x_rg, scale=1.0, shift=0.0, w1_is_gm=True):
+    """scale*(M x) + shift in rg layout, where ``w1`` is the A-pattern bank
+    (g-major [g, c, r] when ``w1_is_gm``, else r-major [r, g, c]) and
+    ``w2rs`` the Aᵀ-pattern bank (always r-major).  The affine epilogue is
+    fused into the kernels' output cast (free).
 
     The transpose product Mᵀx is the same call with the dual banks
-    (wb_gm, wf_rs): transposing M swaps the two edge-pattern roles at
+    (wb, wf_rs): transposing M swaps the two edge-pattern roles at
     identical (r, g, c) coordinates.
     """
     a, g = d.shape
@@ -236,10 +262,11 @@ def _hyper_apply(d, w1gm, w2rs, x_rg, scale: float = 1.0, shift: float = 0.0):
         from protgram_directgcn_tpu.ops import pallas_hyper
 
         return pallas_hyper.apply_hyper_pallas(
-            d, w1gm, w2rs, x_rg, scale=scale, shift=shift
+            d, w1, w2rs, x_rg, scale=scale, shift=shift, w1_is_gm=w1_is_gm
         )
     x_gc = x_rg.reshape(g, a, f)  # order-preserving view of the same nodes
-    y1 = _einsum("gcr,rgf->gcf", w1gm, x_rg)  # A  pattern -> node order (g, c)
+    spec1 = "gcr,rgf->gcf" if w1_is_gm else "rgc,rgf->gcf"
+    y1 = _einsum(spec1, w1, x_rg)  # A  pattern -> node order (g, c)
     y2 = _einsum("rgc,gcf->rgf", w2rs, x_gc)  # Aᵀ pattern -> node order (r, g)
     out = d[:, :, None] * x_rg.astype(jnp.float32) + y1.reshape(a, g, f) + y2
     if scale != 1.0:
@@ -249,42 +276,25 @@ def _hyper_apply(d, w1gm, w2rs, x_rg, scale: float = 1.0, shift: float = 0.0):
     return out.astype(x_rg.dtype)
 
 
-@jax.custom_vjp
-def _propagate_hyper(d, wf_gm, wb_gm, wf_rs, wb_rs, x):
-    return _hyper_apply(d, wf_gm, wb_rs, x)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _propagate_hyper_affine(gm, scale, shift, d, w1f, w1b, wf_rs, wb_rs, x):
+    """w1f/w1b: the A-/Aᵀ-pattern banks in the layout ``gm`` says (resolved
+    by the caller so the memory-lean "rs" mode never passes None leaves)."""
+    return _hyper_apply(d, w1f, wb_rs, x, scale, shift, w1_is_gm=gm)
 
 
-def _propagate_hyper_fwd(d, wf_gm, wb_gm, wf_rs, wb_rs, x):
-    return _hyper_apply(d, wf_gm, wb_rs, x), (d, wb_gm, wf_rs)
+def _propagate_hyper_affine_fwd(gm, scale, shift, d, w1f, w1b, wf_rs, wb_rs, x):
+    out = _hyper_apply(d, w1f, wb_rs, x, scale, shift, w1_is_gm=gm)
+    return out, (d, w1b, wf_rs)
 
 
-def _propagate_hyper_bwd(res, grad):
-    d, wb_gm, wf_rs = res
-    dx = _hyper_apply(d, wb_gm, wf_rs, grad)  # Mᵀ grad: edge-pattern roles swap
-    zeros = lambda ref: jnp.zeros_like(ref)  # noqa: E731 — graph is constant
-    return (zeros(d), zeros(wb_gm), zeros(wb_gm), zeros(wf_rs), zeros(wf_rs), dx)
-
-
-_propagate_hyper.defvjp(_propagate_hyper_fwd, _propagate_hyper_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _propagate_hyper_affine(scale, shift, d, wf_gm, wb_gm, wf_rs, wb_rs, x):
-    return _hyper_apply(d, wf_gm, wb_rs, x, scale, shift)
-
-
-def _propagate_hyper_affine_fwd(scale, shift, d, wf_gm, wb_gm, wf_rs, wb_rs, x):
-    out = _hyper_apply(d, wf_gm, wb_rs, x, scale, shift)
-    return out, (d, wb_gm, wf_rs)
-
-
-def _propagate_hyper_affine_bwd(scale, shift, res, grad):
-    d, wb_gm, wf_rs = res
+def _propagate_hyper_affine_bwd(gm, scale, shift, res, grad):
+    d, w1b, wf_rs = res
     # d(scale*Mx + shift)/dx applied to grad = scale * Mᵀ grad — the scale
     # rides the backward kernels' epilogue too.
-    dx = _hyper_apply(d, wb_gm, wf_rs, grad, scale, 0.0)
+    dx = _hyper_apply(d, w1b, wf_rs, grad, scale, 0.0, w1_is_gm=gm)
     zeros = lambda ref: jnp.zeros_like(ref)  # noqa: E731 — graph is constant
-    return (zeros(d), zeros(wb_gm), zeros(wb_gm), zeros(wf_rs), zeros(wf_rs), dx)
+    return (zeros(d), zeros(w1b), zeros(w1b), zeros(wf_rs), zeros(wf_rs), dx)
 
 
 _propagate_hyper_affine.defvjp(_propagate_hyper_affine_fwd, _propagate_hyper_affine_bwd)
@@ -297,13 +307,7 @@ def propagate_hyper(adj: HypercubeAdj, x: jnp.ndarray) -> jnp.ndarray:
     ``[A, G, F]``; the output matches the input layout.  Keeping features in
     rg layout across propagations avoids a per-call relayout on TPU.
     """
-    a, g = adj.d.shape
-    flat_in = x.ndim == 2
-    x_rg = x.reshape(a, g, x.shape[-1]) if flat_in else x
-    out = _propagate_hyper(
-        adj.d, adj.wf_gm, adj.wb_gm, adj.wf_rs, adj.wb_rs, x_rg
-    )
-    return out.reshape(a * g, -1) if flat_in else out
+    return propagate_hyper_affine(adj, x, 1.0, 0.0)
 
 
 def propagate_hyper_affine(
@@ -315,8 +319,11 @@ def propagate_hyper_affine(
     a, g = adj.d.shape
     flat_in = x.ndim == 2
     x_rg = x.reshape(a, g, x.shape[-1]) if flat_in else x
+    gm = adj.wf_gm is not None
+    w1f = adj.wf_gm if gm else adj.wf_rs
+    w1b = adj.wb_gm if gm else adj.wb_rs
     out = _propagate_hyper_affine(
-        float(scale), float(shift), adj.d, adj.wf_gm, adj.wb_gm,
+        gm, float(scale), float(shift), adj.d, w1f, w1b,
         adj.wf_rs, adj.wb_rs, x_rg,
     )
     return out.reshape(a * g, -1) if flat_in else out

@@ -290,8 +290,11 @@ def build_adjacency(
         dense_enough = 0 < n_hyper <= 4 * max(n_out, 1)
         if mode == "hypercube" or dense_enough:
             try:
+                # Single-matrix context (e.g. the SpMM bench): most of HBM is
+                # available, so afford the fast dual-layout banks.
                 return _hyper.build_hypercube(
-                    src, tgt, w, codes, alpha, weights_dtype=dtype
+                    src, tgt, w, codes, alpha, weights_dtype=dtype,
+                    max_block_bytes=10 << 30,
                 )
             except Exception:
                 if mode == "hypercube":

@@ -251,3 +251,48 @@ def test_propagate_affine_fused_epilogue(trigram_graph):
         np.asarray(spmm.propagate(ell, x2)) * 2.0 - 1.0,
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_rs_only_bank_mode_matches_dual(trigram_graph):
+    """Memory-lean bank_layouts='rs' (no g-major banks on device) gives the
+    same propagation values and gradients as the dual-layout build, on both
+    the einsum and the Pallas (interpret) paths."""
+    from protgram_directgcn_tpu.ops.hypercube import hypercube_bank_bytes
+    from protgram_directgcn_tpu.ops.pallas_hyper import apply_hyper_pallas
+
+    g = trigram_graph
+    src, tgt, val = transforms.csr_to_coo_arrays(g.mathcal_a_out())
+    codes, alpha = hypercube.vocab_char_codes(g.vocab)
+    dual = hypercube.build_hypercube(src, tgt, val, codes, alpha)
+    lean = hypercube.build_hypercube(src, tgt, val, codes, alpha, bank_layouts="rs")
+    assert lean.wf_gm is None and lean.wb_gm is None
+    a_dim, g_dim = lean.d.shape
+    assert hypercube_bank_bytes(g_dim, a_dim, 4, "rs") < hypercube_bank_bytes(
+        g_dim, a_dim, 4, "dual"
+    )
+
+    rng_ = np.random.default_rng(23)
+    xh = jnp.asarray(rng_.normal(size=(lean.n_out, 16)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spmm.propagate(lean, xh)),
+        np.asarray(spmm.propagate(dual, xh)),
+        rtol=1e-5, atol=1e-6,
+    )
+    seed = jnp.asarray(rng_.normal(size=xh.shape).astype(np.float32))
+    gl = jax.grad(lambda q: jnp.sum(spmm.propagate(lean, q) * seed))(xh)
+    gd = jax.grad(lambda q: jnp.sum(spmm.propagate(dual, q) * seed))(xh)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(gd), rtol=1e-5, atol=1e-6)
+
+    # Pallas K1 r-major variant (interpret mode).
+    x128 = jnp.asarray(
+        rng_.normal(size=(a_dim, g_dim, 128)).astype(np.float32)
+    )
+    out_rs = apply_hyper_pallas(
+        lean.d, lean.wf_rs, lean.wb_rs, x128, interpret=True, w1_is_gm=False
+    )
+    out_gm = apply_hyper_pallas(
+        dual.d, dual.wf_gm, dual.wb_rs, x128, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_rs), np.asarray(out_gm), rtol=1e-4, atol=1e-5
+    )
