@@ -143,6 +143,8 @@ class GCNConfig:
     checkpoint_every_epochs: int = 100
     # TPU-specific: compute dtype for matmuls/propagation ("bfloat16"|"float32").
     compute_dtype: str = "float32"
+    # Rematerialise GCN layers on backward (activation memory <-> FLOPs).
+    remat: bool = False
     # Sparse format selection: "auto" picks dense vs ELL by a roofline byte
     # model; can be forced to "dense", "ell", or "pallas".
     spmm_mode: str = "auto"

@@ -48,6 +48,12 @@ class DirectGCNConfig:
     leaky_relu_slope: float = 0.01
     fused: bool = True
     use_pallas: bool = False
+    # Rematerialise each GCN layer on the backward pass (jax.checkpoint):
+    # trades ~1 extra forward per layer for not storing its activations —
+    # the standard TPU lever when full-batch training at hypercube scale
+    # brushes the HBM ceiling (a (128->64)-dim 5-gram step needs ~17.5 GB
+    # without remat on a 16 GB chip).
+    remat: bool = False
     # "bfloat16" runs the dense projections and sparse propagations in bf16
     # (params stay f32; gating/bias/residual math promotes back to f32) —
     # the TPU-native analogue of the reference's CUDA AMP autocast
@@ -265,12 +271,16 @@ def directgcn_apply(
     else:
         drop_keys = [None] * (n_layers + 1)
 
+    def layer_block(layer_p, rp, hh):
+        gcn_out = _layer_apply(layer_p, graph, hh, cfg, original_indices)
+        res_out = hh if rp is None else hh @ rp["w"] + rp["b"]
+        return jax.nn.leaky_relu(gcn_out + res_out, negative_slope=cfg.leaky_relu_slope)
+
+    if cfg.remat:
+        layer_block = jax.checkpoint(layer_block, static_argnums=())
+
     for i in range(n_layers):
-        h_res = h
-        gcn_out = _layer_apply(params["layers"][i], graph, h_res, cfg, original_indices)
-        rp = params["res_projs"][i]
-        res_out = h_res if rp is None else h_res @ rp["w"] + rp["b"]
-        h = jax.nn.leaky_relu(gcn_out + res_out, negative_slope=cfg.leaky_relu_slope)
+        h = layer_block(params["layers"][i], params["res_projs"][i], h)
         if train and drop_keys[i] is not None and cfg.dropout > 0:
             keep = 1.0 - cfg.dropout
             mask = jax.random.bernoulli(drop_keys[i], keep, h.shape)

@@ -318,6 +318,7 @@ class HierarchicalTrainer:
             use_vector_coeffs=gcn.use_vector_coeffs,
             use_pallas=use_pallas,
             compute_dtype=gcn.compute_dtype,
+            remat=gcn.remat,
         )
         params = init_directgcn_params(jax.random.PRNGKey(self.config.random_state + n_val), model_cfg)
 

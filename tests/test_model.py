@@ -181,3 +181,27 @@ def test_grads_flow_to_all_params(setup):
     for lp in grads["layers"]:
         for k in ("w_main_in", "w_main_out", "w_und", "w_shared"):
             assert np.abs(np.asarray(lp[k])).max() > 0
+
+
+def test_remat_matches_plain_forward_and_grads(rng):
+    """cfg.remat=True (jax.checkpoint per layer) changes memory, not math."""
+    dg, _ = make_device_graph(rng, N)
+    base = dict(layer_dims=(16, 24, 8), num_nodes=N, num_classes=5, n_gram_len=2)
+    cfg = DirectGCNConfig(**base)
+    cfg_r = DirectGCNConfig(**base, remat=True)
+    params = init_directgcn_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (N, 16))
+
+    out, emb = directgcn_apply(params, dg, x, cfg)
+    out_r, emb_r = directgcn_apply(params, dg, x, cfg_r)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(emb_r), rtol=1e-6)
+
+    def loss(p, c):
+        lo, _ = directgcn_apply(p, dg, x, c)
+        return jnp.sum(lo[:, 0])
+
+    gp = jax.grad(lambda p: loss(p, cfg))(params)
+    gr = jax.grad(lambda p: loss(p, cfg_r))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
