@@ -258,7 +258,12 @@ def _hyper_apply(d, w1, w2rs, x_rg, scale=1.0, shift=0.0, w1_is_gm=True):
     """
     a, g = d.shape
     f = x_rg.shape[2]
-    if _use_pallas() and f % 128 == 0 and g >= 128:
+    # Feature blocks span the full F axis (Mosaic equal-dims escape), so any
+    # F <= 256 lowers; above that F must tile by 128.  Non-128-multiples pay
+    # lane padding in VMEM/DMA — still far cheaper than the einsum path,
+    # whose XLA lowering materializes transposed bank copies.
+    f_ok = f <= 256 or f % 128 == 0
+    if _use_pallas() and f_ok and g >= 128:
         from protgram_directgcn_tpu.ops import pallas_hyper
 
         return pallas_hyper.apply_hyper_pallas(

@@ -88,14 +88,19 @@ def _k1_body_rs(w_ref, xr_ref, o_ref):
     o_ref[...] = y.astype(o_ref.dtype)
 
 
-def _k2_body(d_ref, w_ref, z_ref, xs_ref, xd_ref, o_ref, *, scale, shift):
+def _k2_body(d_ref, w_ref, z_ref, xs_ref, xd_ref, o_ref, *, scale, shift, split):
     """y[r, gg] = scale*(z + d*x + sum_c wb[r,gg,c] x[gg*A+c]) + shift.
 
     The affine epilogue rides the output cast for free — production layers
-    scale/bias right after propagation, so this fusion is the natural API."""
+    scale/bias right after propagation, so this fusion is the natural API.
+
+    ``split``: the gc-view input arrives as flat (gt*A, F) blocks and is
+    sublane-split in-register — Mosaic supports that only for 128-multiple
+    lane dims; otherwise the caller materializes the gc view and feeds
+    (gt, A, F) blocks directly."""
     a, gt, f = z_ref.shape
     w_t = w_ref[...].transpose(1, 0, 2)  # (gt, A_r, A_c)
-    xs = xs_ref[...].reshape(gt, a, f)  # sublane split: x[gg*A + c]
+    xs = xs_ref[...].reshape(gt, a, f) if split else xs_ref[...]
     y = jax.lax.dot_general(
         w_t,
         xs,
@@ -120,7 +125,8 @@ def _pick_gt(g: int, a: int, f_tile: int, itemsize: int, blocks: int) -> int:
     (target ~12 MB of 16).  Multiples of 128: K2's diagonal (A, gt) block
     puts gt on the lane dim."""
     budget = 12 * 1024 * 1024
-    per_key = a * f_tile * (2 * blocks * max(itemsize, 2) + 4) + 4 * a * a * itemsize
+    f_pad = ((f_tile + 127) // 128) * 128  # VMEM pads the lane dim to 128
+    per_key = a * f_pad * (2 * blocks * max(itemsize, 2) + 4) + 4 * a * a * itemsize
     gt = max(128, budget // per_key)
     return max(128, (gt // 128) * 128)
 
@@ -150,11 +156,14 @@ def apply_hyper_pallas(
     assert w1.shape == ((g, a, a) if w1_is_gm else (a, g, a)), (w1.shape, a, g)
     n_hyper = a * g
     f_tile = f if f <= 256 else 128
-    assert f % f_tile == 0
+    assert f % f_tile == 0, (f, f_tile)
     gt1 = _pick_gt(g, a, f_tile, x_rg.dtype.itemsize, blocks=2)
     gt2 = _pick_gt(g, a, f_tile, x_rg.dtype.itemsize, blocks=5)
 
-    x_flat = x_rg.reshape(n_hyper, f)  # materialized relayout #1
+    # Mosaic supports the in-register sublane merge/split only at
+    # 128-multiple lane dims; otherwise K2 reads a materialized gc view.
+    split = f_tile % 128 == 0
+    x_gcish = x_rg.reshape(n_hyper, f) if split else x_rg.reshape(n_hyper, f).reshape(g, a, f)
 
     if w1_is_gm:
         k1, spec_w1 = _k1_body, pl.BlockSpec((gt1, a, a), lambda i, j: (i, 0, 0))
@@ -176,14 +185,18 @@ def apply_hyper_pallas(
 
     spec_w = pl.BlockSpec((a, gt2, a), lambda i, j: (0, i, 0))
     spec_rg = pl.BlockSpec((a, gt2, f_tile), lambda i, j: (0, i, j))
-    spec_flat = pl.BlockSpec((gt2 * a, f_tile), lambda i, j: (i, j))
+    spec_xs = (
+        pl.BlockSpec((gt2 * a, f_tile), lambda i, j: (i, j))
+        if split
+        else pl.BlockSpec((gt2, a, f_tile), lambda i, j: (i, 0, j))
+    )
     spec_d = pl.BlockSpec((a, gt2), lambda i, j: (0, i))
 
     return pl.pallas_call(
-        functools.partial(_k2_body, scale=scale, shift=shift),
+        functools.partial(_k2_body, scale=scale, shift=shift, split=split),
         grid=(pl.cdiv(g, gt2), f // f_tile),
-        in_specs=[spec_d, spec_w, spec_rg, spec_flat, spec_rg],
+        in_specs=[spec_d, spec_w, spec_rg, spec_xs, spec_rg],
         out_specs=spec_rg,
         out_shape=jax.ShapeDtypeStruct((a, g, f), x_rg.dtype),
         interpret=interpret,
-    )(d, w2rs, z_rg, x_flat, x_rg)
+    )(d, w2rs, z_rg, x_gcish, x_rg)

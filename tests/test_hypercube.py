@@ -296,3 +296,24 @@ def test_rs_only_bank_mode_matches_dual(trigram_graph):
     np.testing.assert_allclose(
         np.asarray(out_rs), np.asarray(out_gm), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("feat", [32, 64, 192])
+def test_pallas_kernels_non128_feature_dims(trigram_graph, feat):
+    """Mosaic's equal-dims escape admits any F <= 256; values must match the
+    dense oracle (interpret mode)."""
+    from protgram_directgcn_tpu.ops.pallas_hyper import apply_hyper_pallas
+
+    g = trigram_graph
+    src, tgt, val = transforms.csr_to_coo_arrays(g.mathcal_a_out())
+    codes, alpha = hypercube.vocab_char_codes(g.vocab)
+    adj = hypercube.build_hypercube(src, tgt, val, codes, alpha)
+    a_dim, g_dim = adj.d.shape
+    rng_ = np.random.default_rng(29)
+    x = rng_.normal(size=(g.num_nodes, feat)).astype(np.float32)
+    xh = hypercube.embed_features(adj, jnp.asarray(x)).reshape(a_dim, g_dim, feat)
+    out = apply_hyper_pallas(adj.d, adj.wf_gm, adj.wb_rs, xh, interpret=True)
+    got = np.asarray(out).reshape(-1, feat)[np.asarray(adj.node_map)]
+    np.testing.assert_allclose(
+        got, _dense_oracle(src, tgt, val, g.num_nodes, x), rtol=1e-4, atol=1e-5
+    )
