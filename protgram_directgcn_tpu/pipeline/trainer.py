@@ -20,6 +20,7 @@ TPU-native re-design of the reference trainer
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from dataclasses import dataclass
@@ -118,7 +119,11 @@ def _loss_fn(params, graph, x, y, mask, weight_factor, rng, model_cfg, l2_lambda
 
 
 def make_train_step(model_cfg: DirectGCNConfig, opt: optax.GradientTransformation, l2_lambda: float):
-    @jax.jit
+    # Donate params/opt_state: without donation the old and updated pytrees
+    # are live simultaneously — ~2x parameter+moment HBM (the [N, out]
+    # per-node constant alone is ~1 GB at 5-gram hypercube scale).  Callers
+    # must rebind both from the step's returns (all ours do).
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, graph, x, y, mask, weight_factor, rng, original_indices):
         (loss, primary), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
             params, graph, x, y, mask, weight_factor, rng, model_cfg, l2_lambda, original_indices

@@ -120,7 +120,9 @@ def test_distributed_directgcn_step_matches_single_device(toy_fasta):
     x = jnp.asarray(x_np)
     y = jnp.asarray(y_np.astype(np.int32))
     mask = jnp.ones(n, jnp.float32)
-    p1, _, loss1, _ = step(params0, opt.init(params0), dg, x, y, mask, jnp.float32(1.0), key, None)
+    # The train step donates params/opt_state; keep params0 usable below.
+    params_copy = jax.tree_util.tree_map(jnp.copy, params0)
+    p1, _, loss1, _ = step(params_copy, opt.init(params0), dg, x, y, mask, jnp.float32(1.0), key, None)
 
     # Distributed: halo graph + node-sharded params/inputs, same math.
     mesh = make_mesh(shards, feat_axis=1)
