@@ -263,7 +263,9 @@ def _hyper_apply(d, w1, w2rs, x_rg, scale=1.0, shift=0.0, w1_is_gm=True):
     # lane padding in VMEM/DMA — still far cheaper than the einsum path,
     # whose XLA lowering materializes transposed bank copies.
     f_ok = f <= 256 or f % 128 == 0
-    if _use_pallas() and f_ok and g >= 128:
+    # 4-byte dtypes brush the VMEM ceiling at the mandatory 128-key blocks;
+    # f32 propagation (small graphs / parity runs) stays on the einsum path.
+    if _use_pallas() and f_ok and g >= 128 and x_rg.dtype.itemsize == 2:
         from protgram_directgcn_tpu.ops import pallas_hyper
 
         return pallas_hyper.apply_hyper_pallas(

@@ -99,6 +99,7 @@ def _k2_body(d_ref, w_ref, z_ref, xs_ref, xd_ref, o_ref, *, scale, shift, split)
     lane dims; otherwise the caller materializes the gc view and feeds
     (gt, A, F) blocks directly."""
     a, gt, f = z_ref.shape
+    d_blk = d_ref[...]
     w_t = w_ref[...].transpose(1, 0, 2)  # (gt, A_r, A_c)
     xs = xs_ref[...].reshape(gt, a, f) if split else xs_ref[...]
     y = jax.lax.dot_general(
@@ -109,7 +110,7 @@ def _k2_body(d_ref, w_ref, z_ref, xs_ref, xd_ref, o_ref, *, scale, shift, split)
     )  # (gt, A_r, F)
     acc = (
         z_ref[...].astype(jnp.float32)
-        + d_ref[...][:, :, None] * xd_ref[...].astype(jnp.float32)
+        + d_blk[:, :, None] * xd_ref[...].astype(jnp.float32)
         + y.transpose(1, 0, 2)
     )
     if scale != 1.0:
@@ -120,10 +121,10 @@ def _k2_body(d_ref, w_ref, z_ref, xs_ref, xd_ref, o_ref, *, scale, shift, split)
 
 
 def _pick_gt(g: int, a: int, f_tile: int, itemsize: int, blocks: int) -> int:
-    """Largest g-block keeping ``blocks`` double-buffered (·gt·A·f_tile)
-    feature blocks plus the f32 accumulator comfortably inside VMEM
-    (target ~12 MB of 16).  Multiples of 128: K2's diagonal (A, gt) block
-    puts gt on the lane dim."""
+    """Largest multiple-of-128 g-block keeping ``blocks`` double-buffered
+    (·gt·A·f_tile) feature blocks plus the f32 accumulator comfortably inside
+    VMEM (target ~12 MB of 16).  128: K2's diagonal (A, gt) block puts gt on
+    the lane dim."""
     budget = 12 * 1024 * 1024
     f_pad = ((f_tile + 127) // 128) * 128  # VMEM pads the lane dim to 128
     per_key = a * f_pad * (2 * blocks * max(itemsize, 2) + 4) + 4 * a * a * itemsize
@@ -155,10 +156,16 @@ def apply_hyper_pallas(
     a, g, f = x_rg.shape
     assert w1.shape == ((g, a, a) if w1_is_gm else (a, g, a)), (w1.shape, a, g)
     n_hyper = a * g
-    f_tile = f if f <= 256 else 128
-    assert f % f_tile == 0, (f, f_tile)
-    gt1 = _pick_gt(g, a, f_tile, x_rg.dtype.itemsize, blocks=2)
-    gt2 = _pick_gt(g, a, f_tile, x_rg.dtype.itemsize, blocks=5)
+    f_tile = 128 if f % 128 == 0 else f
+    assert f % f_tile == 0 and f_tile <= 256, (f, f_tile)
+    # K2's diagonal (A, gt) block puts gt on the lane dim -> 128 multiples.
+    # Compiled path is 2-byte dtypes only: at 4 bytes even 128-key blocks
+    # brush the VMEM ceiling (the dispatcher routes f32 to the XLA einsum
+    # path); interpret mode (tests) takes any dtype.
+    assert interpret or x_rg.dtype.itemsize == 2, x_rg.dtype
+    cap = -(-g // 128) * 128  # no point in blocks beyond one ragged G
+    gt1 = min(cap, _pick_gt(g, a, f_tile, x_rg.dtype.itemsize, blocks=2))
+    gt2 = min(cap, _pick_gt(g, a, f_tile, x_rg.dtype.itemsize, blocks=5))
 
     # Mosaic supports the in-register sublane merge/split only at
     # 128-multiple lane dims; otherwise K2 reads a materialized gc view.
@@ -190,7 +197,7 @@ def apply_hyper_pallas(
         if split
         else pl.BlockSpec((gt2, a, f_tile), lambda i, j: (i, 0, j))
     )
-    spec_d = pl.BlockSpec((a, gt2), lambda i, j: (0, i))
+    d_in, spec_d = d, pl.BlockSpec((a, gt2), lambda i, j: (0, i))
 
     return pl.pallas_call(
         functools.partial(_k2_body, scale=scale, shift=shift, split=split),
@@ -199,4 +206,4 @@ def apply_hyper_pallas(
         out_specs=spec_rg,
         out_shape=jax.ShapeDtypeStruct((a, g, f), x_rg.dtype),
         interpret=interpret,
-    )(d, w2rs, z_rg, x_gcish, x_rg)
+    )(d_in, w2rs, z_rg, x_gcish, x_rg)

@@ -77,6 +77,36 @@ class PPIPipeline:
 
     # ------------------------------------------------------------------
 
+    def _discover_embedding_files(self) -> List[Dict[str, Any]]:
+        """Auto-register H5 embeddings produced by earlier pipeline stages
+        when no explicit registry was configured (the reference hard-codes
+        its own stage outputs in LP_EMBEDDING_FILES_TO_EVALUATE,
+        reference: config.py:143-148)."""
+        paths = self.config.paths
+        found: List[Dict[str, Any]] = []
+        sources = [
+            (paths.gcn_embeddings_dir, "ProtGramDirectGCN"),
+            (paths.word2vec_embeddings_dir, "Word2Vec"),
+            (paths.transformer_embeddings_dir, "Transformer"),
+        ]
+        taken = set()
+        for directory, base_name in sources:
+            if not directory.is_dir():
+                continue
+            for h5 in sorted(directory.glob("*.h5")):
+                suffix = "_PCA" if "pca" in h5.stem.lower() else ""
+                name = f"{base_name}{suffix}"
+                if name in taken:
+                    name = f"{base_name}:{h5.stem}"
+                taken.add(name)
+                found.append({"name": name, "path": h5})
+        if found:
+            logger.info(
+                "auto-discovered %d embedding sets for PPI evaluation: %s",
+                len(found), [f["name"] for f in found],
+            )
+        return found
+
     def _load_pairs(self, use_dummy_data: bool, dummy_dir: Optional[os.PathLike]) -> Tuple[List[Pair], List[Dict[str, Any]]]:
         cfg = self.config
         if use_dummy_data:
@@ -88,6 +118,8 @@ class PPIPipeline:
             neg_pairs = uio.load_interaction_pairs(neg, 0)
         else:
             embedding_files = cfg.eval.embedding_files_to_evaluate
+            if not embedding_files:
+                embedding_files = self._discover_embedding_files()
             pos_pairs = []
             for batch in uio.stream_interaction_pairs(cfg.paths.interactions_positive, 1, 8192):
                 pos_pairs.extend(batch)
