@@ -93,7 +93,10 @@ class NgramGraph:
     def undirected_norm(self):
         return transforms.undirected_normalized_matrix(self.src, self.tgt, self.num_nodes)
 
-    def to_device(self, mode: str = "auto", feat_dim: int = 128, dtype=jnp.float32) -> DeviceGraph:
+    def to_device(
+        self, mode: str = "auto", feat_dim: int = 128, dtype=jnp.float32,
+        hbm_budget: int = 10 << 30,
+    ) -> DeviceGraph:
         """Materialise device propagation operators.
 
         Edge orientation note: the reference feeds sparse-matrix ``indices()``
@@ -119,7 +122,7 @@ class NgramGraph:
             from protgram_directgcn_tpu.ops.block import BlockStructureError
             from protgram_directgcn_tpu.ops.hypercube import hypercube_bank_bytes
 
-            per_matrix_budget = (10 << 30) // 3
+            per_matrix_budget = hbm_budget // 3
 
             def hyper_from(m):
                 s, t, v = transforms.csr_to_coo_arrays(m)

@@ -317,3 +317,29 @@ def test_pallas_kernels_non128_feature_dims(trigram_graph, feat):
     np.testing.assert_allclose(
         got, _dense_oracle(src, tgt, val, g.num_nodes, x), rtol=1e-4, atol=1e-5
     )
+
+
+def test_to_device_falls_back_to_lean_banks_under_budget(trigram_graph):
+    """to_device(mode='hypercube') picks dual banks when they fit the HBM
+    budget and the memory-lean rs banks otherwise."""
+    from protgram_directgcn_tpu.ops.hypercube import hypercube_bank_bytes
+
+    g = trigram_graph
+    dual = g.to_device(mode="hypercube", feat_dim=16)
+    assert dual.p_in.wf_gm is not None
+    a_dim, g_dim = dual.p_in.d.shape
+    # A budget between the rs and dual padded footprints forces rs.
+    rs_bytes = hypercube_bank_bytes(g_dim, a_dim, 4, "rs")
+    dual_bytes = hypercube_bank_bytes(g_dim, a_dim, 4, "dual")
+    budget = 3 * (rs_bytes + dual_bytes) // 2
+    lean = g.to_device(mode="hypercube", feat_dim=16, hbm_budget=budget)
+    assert lean.p_in.wf_gm is None and lean.p_in.wb_gm is None
+    # Same propagation either way.
+    import numpy as np
+    from protgram_directgcn_tpu.ops import spmm
+    x = jnp.asarray(np.random.default_rng(31).normal(size=(dual.num_nodes, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spmm.propagate(lean.p_out, x)),
+        np.asarray(spmm.propagate(dual.p_out, x)),
+        rtol=1e-5, atol=1e-6,
+    )
