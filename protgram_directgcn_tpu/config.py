@@ -178,6 +178,11 @@ class TransformerConfig:
     base_batch_size: int = 16
     pooling_strategy: str = "mean"
     apply_pca: bool = True
+    # When no HF checkpoint is cached locally (offline pods), emit seeded
+    # per-residue projection embeddings (AA-composition baseline) instead of
+    # producing nothing.
+    offline_fallback: bool = True
+    fallback_dim: int = 64
 
 
 @dataclass

@@ -116,4 +116,40 @@ class TransformerEmbedder:
             )
             if path:
                 outputs.append(path)
+        if not outputs and cfg.transformer.offline_fallback:
+            path = self._embed_residue_projection(sequences, output_dir)
+            if path:
+                outputs.append(path)
         return outputs
+
+    def _embed_residue_projection(self, sequences, output_dir) -> Optional[str]:
+        """Offline fallback: seeded per-residue projection embeddings.
+
+        Each residue type maps to a fixed Gaussian vector, so mean pooling
+        yields (smoothed) amino-acid-composition features — a legitimate
+        sequence-only baseline that keeps the downstream PPI comparison
+        runnable when no HF checkpoint is cached locally."""
+        tcfg = self.config.transformer
+        rng = np.random.default_rng(self.config.random_state)
+        alphabet = "ACDEFGHIKLMNPQRSTVWYX"
+        dim = tcfg.fallback_dim
+        table = {ch: rng.standard_normal(dim).astype(np.float32) for ch in alphabet}
+        pooled: Dict[str, np.ndarray] = {}
+        for pid, seq in sequences:
+            seq = re.sub(r"[UZOB]", "X", seq)
+            res = np.stack([table.get(ch, table["X"]) for ch in seq]) if seq else np.zeros((0, dim), np.float32)
+            if res.shape[0]:
+                pooled[pid] = emb_utils.pool_residue_embeddings(
+                    res, tcfg.pooling_strategy
+                ).astype(np.float16)
+        if not pooled:
+            return None
+        logger.info(
+            "no HF checkpoint available; wrote residue-projection fallback "
+            "embeddings for %d proteins (AA-composition baseline)", len(pooled)
+        )
+        h5_path = os.path.join(
+            str(output_dir), f"residue_projection_{tcfg.pooling_strategy}.h5"
+        )
+        write_h5_embeddings(h5_path, pooled)
+        return h5_path
