@@ -74,14 +74,22 @@ class HypercubeAdj:
     d: jnp.ndarray  # [A, G] f32 diagonal (rg layout; flat == node order)
     wf_gm: Optional[jnp.ndarray]  # [G, A, A]: wf_gm[g,c,r] = w(r·G+g -> g·A+c)
     wb_gm: Optional[jnp.ndarray]  # [G, A, A]: wb_gm[g,c,r] = w(g·A+c -> r·G+g)
-    wf_rs: jnp.ndarray  # [A, G, A]: wf_rs[r, g, c] = wf_gm[g, c, r]
-    wb_rs: jnp.ndarray  # [A, G, A]: wb_rs[r, g, c] = wb_gm[g, c, r]
+    wf_rs: jnp.ndarray  # see bank_layout: [A, G, A] wf_rs[r,g,c], or packed
+    wb_rs: jnp.ndarray  # [A*A, G] w[r·A+c, g] in the "pk" mode
     node_map: jnp.ndarray  # [N_real] int32 hypercube id per real node
-    # wf_gm/wb_gm are None in the memory-lean "rs" bank mode: K1 then runs
-    # the r-major contraction (~+4 ms/prop on v5e) but device bank memory
-    # drops from ~2.5x to ~1x of the padded r-major pair — the difference
-    # between fitting and not fitting 3 matrices of a 5-gram graph on one
-    # 16 GB chip.
+    # Bank layout modes (bank_layout property distinguishes them by shape):
+    #  "pk"   wf_rs/wb_rs are packed [A*A, G] — near-zero tile padding on
+    #         both the HBM stream and device storage (~6x leaner than
+    #         r-major, ~9x than g-major); wf_gm/wb_gm are None.
+    #  "dual" wf_gm/wb_gm [G, A, A] g-major copies for K1 plus r-major
+    #         wf_rs/wb_rs for K2 (the historically fastest pre-pk mode).
+    #  "rs"   r-major only (memory-lean legacy fallback; ~+4 ms/prop K1).
+
+    @property
+    def bank_layout(self) -> str:
+        if self.wf_rs is not None and self.wf_rs.ndim == 2:
+            return "pk"
+        return "dual" if self.wf_gm is not None else "rs"
 
     @property
     def n_out(self) -> int:
@@ -130,12 +138,13 @@ def build_hypercube(
     ``weights_dtype=bfloat16`` halves the HBM traffic of the weight banks
     (f32 accumulation regardless); the diagonal stays f32.
 
-    ``bank_layouts``: "dual" stores each bank in both the g-major layout K1
-    prefers and the r-major layout K2 needs; "rs" stores r-major only
-    (memory-lean, slightly slower K1).
+    ``bank_layouts``: "pk" stores each bank packed [A*A, G] (near-zero tile
+    padding: the fastest AND leanest mode); "dual" stores each bank in both
+    the g-major layout K1 prefers and the r-major layout K2 needs; "rs"
+    stores r-major only (memory-lean legacy fallback, slightly slower K1).
     """
-    if bank_layouts not in ("dual", "rs"):
-        raise ValueError(f"bank_layouts must be 'dual' or 'rs': {bank_layouts}")
+    if bank_layouts not in ("pk", "dual", "rs"):
+        raise ValueError(f"bank_layouts must be 'pk', 'dual' or 'rs': {bank_layouts}")
     codes = np.asarray(codes, np.int64)
     n_real, n = codes.shape
     a = int(alphabet_size)
@@ -191,14 +200,21 @@ def build_hypercube(
         )
         return bank.astype(weights_dtype)
 
-    gm, rs = (g, a, a), (a, g, a)
+    gm, rs, pkk = (g, a, a), (a, g, a), (a * a, g)
     dual = bank_layouts == "dual"
+    if bank_layouts == "pk":
+        # packed: bank[r*A + c, g]
+        wf = scatter_bank((first[sf] * a + last[tf]) * g + sk[sf], vf, pkk)
+        wb = scatter_bank((first[tb] * a + last[sb]) * g + pk[sb], vb, pkk)
+    else:
+        wf = scatter_bank((first[sf] * g + sk[sf]) * a + last[tf], vf, rs)
+        wb = scatter_bank((first[tb] * g + pk[sb]) * a + last[sb], vb, rs)
     return HypercubeAdj(
         d=jnp.asarray(d.reshape(a, g)),
         wf_gm=scatter_bank((sk[sf] * a + last[tf]) * a + first[sf], vf, gm) if dual else None,
         wb_gm=scatter_bank((pk[sb] * a + last[sb]) * a + first[tb], vb, gm) if dual else None,
-        wf_rs=scatter_bank((first[sf] * g + sk[sf]) * a + last[tf], vf, rs),
-        wb_rs=scatter_bank((first[tb] * g + pk[sb]) * a + last[sb], vb, rs),
+        wf_rs=wf,
+        wb_rs=wb,
         node_map=jnp.asarray(hyper.astype(np.int32)),
     )
 
@@ -207,6 +223,10 @@ def hypercube_bank_bytes(g: int, a: int, itemsize: int, bank_layouts: str = "dua
     """Padded device footprint of the weight banks (TPU tiles the last two
     dims: sublanes to 8 (4-byte) / 16 (2-byte), lanes to 128)."""
     sub = 16 if itemsize <= 2 else 8
+    if bank_layouts == "pk":  # [A*A, G]: both dims pad to their tile only
+        subs = ((a * a + sub - 1) // sub) * sub
+        lanes = ((g + 127) // 128) * 128
+        return 2 * subs * lanes * itemsize
     lanes = ((a + 127) // 128) * 128
     gm_pad = g * ((a + sub - 1) // sub) * sub * lanes * itemsize
     rs_pad = a * g * lanes * itemsize  # sublane dim g is effectively unpadded
@@ -246,14 +266,15 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _hyper_apply(d, w1, w2rs, x_rg, scale=1.0, shift=0.0, w1_is_gm=True):
+def _hyper_apply(d, w1, w2, x_rg, scale=1.0, shift=0.0, w_layout="gm"):
     """scale*(M x) + shift in rg layout, where ``w1`` is the A-pattern bank
-    (g-major [g, c, r] when ``w1_is_gm``, else r-major [r, g, c]) and
-    ``w2rs`` the Aᵀ-pattern bank (always r-major).  The affine epilogue is
-    fused into the kernels' output cast (free).
+    and ``w2`` the Aᵀ-pattern bank, in the layout ``w_layout`` names
+    ("gm": w1 g-major/w2 r-major; "rs": both r-major; "pk": both packed
+    [A*A, G]).  The affine epilogue is fused into the kernels' output cast
+    (free).
 
-    The transpose product Mᵀx is the same call with the dual banks
-    (wb, wf_rs): transposing M swaps the two edge-pattern roles at
+    The transpose product Mᵀx is the same call with the banks' roles
+    swapped (wb, wf): transposing M swaps the two edge patterns at
     identical (r, g, c) coordinates.
     """
     a, g = d.shape
@@ -269,12 +290,17 @@ def _hyper_apply(d, w1, w2rs, x_rg, scale=1.0, shift=0.0, w1_is_gm=True):
         from protgram_directgcn_tpu.ops import pallas_hyper
 
         return pallas_hyper.apply_hyper_pallas(
-            d, w1, w2rs, x_rg, scale=scale, shift=shift, w1_is_gm=w1_is_gm
+            d, w1, w2, x_rg, scale=scale, shift=shift, w_layout=w_layout
         )
     x_gc = x_rg.reshape(g, a, f)  # order-preserving view of the same nodes
-    spec1 = "gcr,rgf->gcf" if w1_is_gm else "rgc,rgf->gcf"
+    if w_layout == "pk":
+        w1 = w1.reshape(a, a, g)  # [r, c, g]
+        w2 = w2.reshape(a, a, g).transpose(0, 2, 1)  # -> r-major [r, g, c]
+        spec1 = "rcg,rgf->gcf"
+    else:
+        spec1 = "gcr,rgf->gcf" if w_layout == "gm" else "rgc,rgf->gcf"
     y1 = _einsum(spec1, w1, x_rg)  # A  pattern -> node order (g, c)
-    y2 = _einsum("rgc,gcf->rgf", w2rs, x_gc)  # Aᵀ pattern -> node order (r, g)
+    y2 = _einsum("rgc,gcf->rgf", w2, x_gc)  # Aᵀ pattern -> node order (r, g)
     out = d[:, :, None] * x_rg.astype(jnp.float32) + y1.reshape(a, g, f) + y2
     if scale != 1.0:
         out = out * scale
@@ -284,24 +310,25 @@ def _hyper_apply(d, w1, w2rs, x_rg, scale=1.0, shift=0.0, w1_is_gm=True):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _propagate_hyper_affine(gm, scale, shift, d, w1f, w1b, wf_rs, wb_rs, x):
-    """w1f/w1b: the A-/Aᵀ-pattern banks in the layout ``gm`` says (resolved
-    by the caller so the memory-lean "rs" mode never passes None leaves)."""
-    return _hyper_apply(d, w1f, wb_rs, x, scale, shift, w1_is_gm=gm)
+def _propagate_hyper_affine(layout, scale, shift, d, w1f, w1b, wf2, wb2, x):
+    """w1f/w1b: the A-/Aᵀ-pattern K1 banks; wf2/wb2 the K2-side banks, all in
+    the layout ``layout`` names (resolved by the caller so the lean modes
+    never pass None leaves; in "rs"/"pk" the pairs are the same arrays)."""
+    return _hyper_apply(d, w1f, wb2, x, scale, shift, w_layout=layout)
 
 
-def _propagate_hyper_affine_fwd(gm, scale, shift, d, w1f, w1b, wf_rs, wb_rs, x):
-    out = _hyper_apply(d, w1f, wb_rs, x, scale, shift, w1_is_gm=gm)
-    return out, (d, w1b, wf_rs)
+def _propagate_hyper_affine_fwd(layout, scale, shift, d, w1f, w1b, wf2, wb2, x):
+    out = _hyper_apply(d, w1f, wb2, x, scale, shift, w_layout=layout)
+    return out, (d, w1b, wf2)
 
 
-def _propagate_hyper_affine_bwd(gm, scale, shift, res, grad):
-    d, w1b, wf_rs = res
+def _propagate_hyper_affine_bwd(layout, scale, shift, res, grad):
+    d, w1b, wf2 = res
     # d(scale*Mx + shift)/dx applied to grad = scale * Mᵀ grad — the scale
     # rides the backward kernels' epilogue too.
-    dx = _hyper_apply(d, w1b, wf_rs, grad, scale, 0.0, w1_is_gm=gm)
+    dx = _hyper_apply(d, w1b, wf2, grad, scale, 0.0, w_layout=layout)
     zeros = lambda ref: jnp.zeros_like(ref)  # noqa: E731 — graph is constant
-    return (zeros(d), zeros(w1b), zeros(w1b), zeros(wf_rs), zeros(wf_rs), dx)
+    return (zeros(d), zeros(w1b), zeros(w1b), zeros(wf2), zeros(wf2), dx)
 
 
 _propagate_hyper_affine.defvjp(_propagate_hyper_affine_fwd, _propagate_hyper_affine_bwd)
@@ -326,11 +353,12 @@ def propagate_hyper_affine(
     a, g = adj.d.shape
     flat_in = x.ndim == 2
     x_rg = x.reshape(a, g, x.shape[-1]) if flat_in else x
-    gm = adj.wf_gm is not None
+    layout = adj.bank_layout
+    gm = layout == "dual"
     w1f = adj.wf_gm if gm else adj.wf_rs
     w1b = adj.wb_gm if gm else adj.wb_rs
     out = _propagate_hyper_affine(
-        gm, float(scale), float(shift), adj.d, w1f, w1b,
+        "gm" if gm else layout, float(scale), float(shift), adj.d, w1f, w1b,
         adj.wf_rs, adj.wb_rs, x_rg,
     )
     return out.reshape(a * g, -1) if flat_in else out

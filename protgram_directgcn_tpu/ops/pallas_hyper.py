@@ -88,7 +88,25 @@ def _k1_body_rs(w_ref, xr_ref, o_ref):
     o_ref[...] = y.astype(o_ref.dtype)
 
 
-def _k2_body(d_ref, w_ref, z_ref, xs_ref, xd_ref, o_ref, *, scale, shift, split):
+def _k1_body_pk(w_ref, xr_ref, o_ref):
+    """K1 from the packed [A*A, G] bank (block (A*A, gt)): near-zero tile
+    padding on the bank stream (vs 9.3x g-major / 6.1x r-major).  The
+    (441, gt) block is split to (A_r, A_c, gt) in-register (lanes fixed)
+    and transposed to a leading-batch dot form."""
+    a = xr_ref.shape[0]
+    w3 = w_ref[...].reshape(a, a, w_ref.shape[1])  # (A_r, A_c, gt)
+    w_t = w3.transpose(2, 1, 0)  # (gt, A_c, A_r)
+    xr_t = xr_ref[...].transpose(1, 0, 2)  # (gt, A_r, F)
+    y = jax.lax.dot_general(
+        w_t,
+        xr_t,
+        (((2,), (1,)), ((0,), (0,))),  # contract A_r, batch g
+        preferred_element_type=jnp.float32,
+    )  # (gt, A_c, F)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _k2_body(d_ref, w_ref, z_ref, xs_ref, xd_ref, o_ref, *, scale, shift, split, packed=False):
     """y[r, gg] = scale*(z + d*x + sum_c wb[r,gg,c] x[gg*A+c]) + shift.
 
     The affine epilogue rides the output cast for free — production layers
@@ -100,7 +118,10 @@ def _k2_body(d_ref, w_ref, z_ref, xs_ref, xd_ref, o_ref, *, scale, shift, split)
     (gt, A, F) blocks directly."""
     a, gt, f = z_ref.shape
     d_blk = d_ref[...]
-    w_t = w_ref[...].transpose(1, 0, 2)  # (gt, A_r, A_c)
+    if packed:  # (A*A, gt) block -> (A_r, A_c, gt) -> (gt, A_r, A_c)
+        w_t = w_ref[...].reshape(a, a, gt).transpose(2, 0, 1)
+    else:
+        w_t = w_ref[...].transpose(1, 0, 2)  # (gt, A_r, A_c)
     xs = xs_ref[...].reshape(gt, a, f) if split else xs_ref[...]
     y = jax.lax.dot_general(
         w_t,
@@ -133,28 +154,38 @@ def _pick_gt(g: int, a: int, f_tile: int, itemsize: int, blocks: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "scale", "shift", "w1_is_gm")
+    jax.jit, static_argnames=("interpret", "scale", "shift", "w1_is_gm", "w_layout")
 )
 def apply_hyper_pallas(
     d,
     w1,
-    w2rs,
+    w2,
     x_rg,
     interpret: bool = False,
     scale: float = 1.0,
     shift: float = 0.0,
     w1_is_gm: bool = True,
+    w_layout: str = None,
 ):
-    """One propagation: diag + A-pattern (bank ``w1``; g-major [g, c, r] when
-    ``w1_is_gm``, else r-major [r, g, c] — the memory-lean mode) + Aᵀ-pattern
-    (bank ``w2rs``, r-major [r, g, c]) over rg-layout features, with an
-    optional fused affine epilogue ``out = scale*(M x) + shift``.
+    """One propagation: diag + A-pattern (bank ``w1``) + Aᵀ-pattern (bank
+    ``w2``) over rg-layout features, with an optional fused affine epilogue
+    ``out = scale*(M x) + shift``.
+
+    ``w_layout`` selects the bank layouts:
+      "gm" — w1 g-major [g, c, r], w2 r-major [r, g, c] (fastest dual mode)
+      "rs" — both r-major (memory-lean, ~+4 ms/prop K1)
+      "pk" — both packed [A*A, G] (near-zero bank tile padding: fast AND
+             ~6x leaner than r-major; see _k1_body_pk)
+    ``w1_is_gm`` is the legacy boolean spelling of gm/rs.
 
     d: [A, G] f32 diagonal (rg layout; flat order == node order)
     x_rg: [A, G, F]; returns [A, G, F] in ``x_rg.dtype`` (f32 accumulation).
     """
     a, g, f = x_rg.shape
-    assert w1.shape == ((g, a, a) if w1_is_gm else (a, g, a)), (w1.shape, a, g)
+    if w_layout is None:
+        w_layout = "gm" if w1_is_gm else "rs"
+    expect = {"gm": (g, a, a), "rs": (a, g, a), "pk": (a * a, g)}[w_layout]
+    assert w1.shape == expect, (w1.shape, w_layout, a, g)
     n_hyper = a * g
     f_tile = 128 if f % 128 == 0 else f
     assert f % f_tile == 0 and f_tile <= 256, (f, f_tile)
@@ -172,8 +203,10 @@ def apply_hyper_pallas(
     split = f_tile % 128 == 0
     x_gcish = x_rg.reshape(n_hyper, f) if split else x_rg.reshape(n_hyper, f).reshape(g, a, f)
 
-    if w1_is_gm:
+    if w_layout == "gm":
         k1, spec_w1 = _k1_body, pl.BlockSpec((gt1, a, a), lambda i, j: (i, 0, 0))
+    elif w_layout == "pk":
+        k1, spec_w1 = _k1_body_pk, pl.BlockSpec((a * a, gt1), lambda i, j: (0, i))
     else:
         k1, spec_w1 = _k1_body_rs, pl.BlockSpec((a, gt1, a), lambda i, j: (0, i, 0))
     z_gc = pl.pallas_call(
@@ -190,7 +223,12 @@ def apply_hyper_pallas(
 
     z_rg = z_gc.reshape(a, g, f)  # materialized relayout #2 (order-preserving)
 
-    spec_w = pl.BlockSpec((a, gt2, a), lambda i, j: (0, i, 0))
+    packed2 = w_layout == "pk"
+    spec_w = (
+        pl.BlockSpec((a * a, gt2), lambda i, j: (0, i))
+        if packed2
+        else pl.BlockSpec((a, gt2, a), lambda i, j: (0, i, 0))
+    )
     spec_rg = pl.BlockSpec((a, gt2, f_tile), lambda i, j: (0, i, j))
     spec_xs = (
         pl.BlockSpec((gt2 * a, f_tile), lambda i, j: (i, j))
@@ -200,10 +238,10 @@ def apply_hyper_pallas(
     d_in, spec_d = d, pl.BlockSpec((a, gt2), lambda i, j: (0, i))
 
     return pl.pallas_call(
-        functools.partial(_k2_body, scale=scale, shift=shift, split=split),
+        functools.partial(_k2_body, scale=scale, shift=shift, split=split, packed=packed2),
         grid=(pl.cdiv(g, gt2), f // f_tile),
         in_specs=[spec_d, spec_w, spec_rg, spec_xs, spec_rg],
         out_specs=spec_rg,
         out_shape=jax.ShapeDtypeStruct((a, g, f), x_rg.dtype),
         interpret=interpret,
-    )(d_in, w2rs, z_rg, x_gcish, x_rg)
+    )(d_in, w2, z_rg, x_gcish, x_rg)

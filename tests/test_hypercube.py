@@ -343,3 +343,46 @@ def test_to_device_falls_back_to_lean_banks_under_budget(trigram_graph):
         np.asarray(spmm.propagate(dual.p_out, x)),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_pk_bank_mode_matches_dual(trigram_graph):
+    """Packed bank_layouts='pk' ([A*A, G] banks, near-zero tile padding)
+    gives the same propagation values and gradients as the dual-layout
+    build, on both the einsum and the Pallas (interpret) paths."""
+    from protgram_directgcn_tpu.ops.hypercube import hypercube_bank_bytes
+    from protgram_directgcn_tpu.ops.pallas_hyper import apply_hyper_pallas
+
+    g = trigram_graph
+    src, tgt, val = transforms.csr_to_coo_arrays(g.mathcal_a_out())
+    codes, alpha = hypercube.vocab_char_codes(g.vocab)
+    dual = hypercube.build_hypercube(src, tgt, val, codes, alpha)
+    pk = hypercube.build_hypercube(src, tgt, val, codes, alpha, bank_layouts="pk")
+    assert pk.bank_layout == "pk" and pk.wf_gm is None
+    a_dim, g_dim = pk.d.shape
+    assert pk.wf_rs.shape == (a_dim * a_dim, g_dim)
+    # Packed is the leanest footprint of the three modes.
+    assert hypercube_bank_bytes(g_dim, a_dim, 4, "pk") <= hypercube_bank_bytes(
+        g_dim, a_dim, 4, "rs"
+    )
+
+    rng_ = np.random.default_rng(41)
+    xh = jnp.asarray(rng_.normal(size=(pk.n_out, 16)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spmm.propagate(pk, xh)),
+        np.asarray(spmm.propagate(dual, xh)),
+        rtol=1e-5, atol=1e-6,
+    )
+    seed = jnp.asarray(rng_.normal(size=xh.shape).astype(np.float32))
+    gp = jax.grad(lambda q: jnp.sum(spmm.propagate_affine(pk, q, 0.25, 0.5) * seed))(xh)
+    gd = jax.grad(lambda q: jnp.sum(spmm.propagate_affine(dual, q, 0.25, 0.5) * seed))(xh)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gd), rtol=1e-5, atol=1e-6)
+
+    # Pallas packed kernels (interpret mode) against the dual-mode kernels.
+    x128 = jnp.asarray(rng_.normal(size=(a_dim, g_dim, 128)).astype(np.float32))
+    out_pk = apply_hyper_pallas(
+        pk.d, pk.wf_rs, pk.wb_rs, x128, interpret=True, w_layout="pk"
+    )
+    out_gm = apply_hyper_pallas(dual.d, dual.wf_gm, dual.wb_rs, x128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_pk), np.asarray(out_gm), rtol=1e-4, atol=1e-5
+    )
