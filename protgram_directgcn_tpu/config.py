@@ -236,12 +236,23 @@ class ParallelConfig:
     (SURVEY.md section 2.3); this subsystem is new TPU-native work.
     """
 
-    # Mesh axis sizes; None -> use all local devices on the "nodes" axis.
+    # Mesh axis sizes; None -> single-device training.  Setting mesh_nodes
+    # (e.g. --set parallel.mesh_nodes=8) makes HierarchicalTrainer build a
+    # ("nodes", "feat") mesh and train every level distributed.
     mesh_nodes: Optional[int] = None
     mesh_feats: int = 1
+    # Distributed propagation strategy:
+    #   "halo"  — explicit edge-partitioned halo exchange (shard_map
+    #             all_to_all overlapped with local aggregation; the BASELINE
+    #             north-star path, parallel/halo.py);
+    #   "gspmd" — row-sharded adjacency + GSPMD-inserted collectives
+    #             (parallel/mesh.py shard_device_graph).
+    mode: str = "halo"
     # Edge partitioning strategy for multi-chip: "block" (contiguous node
     # ranges) or "bfs" (locality-grown partitions).
     partition_strategy: str = "block"
+    # Debug: assert cross-shard checksums on exchanged halo features.
+    debug_checksums: bool = False
 
 
 @dataclass

@@ -75,14 +75,19 @@ class HypercubeAdj:
     wf_gm: Optional[jnp.ndarray]  # [G, A, A]: wf_gm[g,c,r] = w(r·G+g -> g·A+c)
     wb_gm: Optional[jnp.ndarray]  # [G, A, A]: wb_gm[g,c,r] = w(g·A+c -> r·G+g)
     wf_rs: jnp.ndarray  # see bank_layout: [A, G, A] wf_rs[r,g,c], or packed
-    wb_rs: jnp.ndarray  # [A*A, G] w[r·A+c, g] in the "pk" mode
+    wb_rs: jnp.ndarray  # [A, G, A] wb_rs[r,g,c] in dual/rs modes, or packed
+    #                     [A*A, G] w[r·A+c, g] in the "pk" mode
     node_map: jnp.ndarray  # [N_real] int32 hypercube id per real node
     # Bank layout modes (bank_layout property distinguishes them by shape):
+    #  "dual" wf_gm/wb_gm [G, A, A] g-major copies for K1 plus r-major
+    #         wf_rs/wb_rs for K2 — the FASTEST mode (K1 measured 9.84
+    #         ms/iter vs 14.32 packed, experiments/exp_packed_k1.log) at the
+    #         price of storing each bank twice (g-major pads 9.3x).
     #  "pk"   wf_rs/wb_rs are packed [A*A, G] — near-zero tile padding on
     #         both the HBM stream and device storage (~6x leaner than
-    #         r-major, ~9x than g-major); wf_gm/wb_gm are None.
-    #  "dual" wf_gm/wb_gm [G, A, A] g-major copies for K1 plus r-major
-    #         wf_rs/wb_rs for K2 (the historically fastest pre-pk mode).
+    #         r-major, ~9x than g-major) but a SLOWER K1 (in-register
+    #         (441, gt) split costs ~45%: 14.32 vs 9.84 ms/iter measured);
+    #         wf_gm/wb_gm are None.  Pick it for memory, not speed.
     #  "rs"   r-major only (memory-lean legacy fallback; ~+4 ms/prop K1).
 
     @property
@@ -138,10 +143,12 @@ def build_hypercube(
     ``weights_dtype=bfloat16`` halves the HBM traffic of the weight banks
     (f32 accumulation regardless); the diagonal stays f32.
 
-    ``bank_layouts``: "pk" stores each bank packed [A*A, G] (near-zero tile
-    padding: the fastest AND leanest mode); "dual" stores each bank in both
-    the g-major layout K1 prefers and the r-major layout K2 needs; "rs"
-    stores r-major only (memory-lean legacy fallback, slightly slower K1).
+    ``bank_layouts``: "dual" stores each bank in both the g-major layout K1
+    prefers and the r-major layout K2 needs — the fastest mode (K1 9.84
+    ms/iter measured, experiments/exp_packed_k1.log); "pk" stores each bank
+    packed [A*A, G] — the leanest device footprint (~6x under r-major) but a
+    ~45% slower K1 (14.32 ms/iter measured); "rs" stores r-major only
+    (memory-lean legacy fallback, slightly slower K1).
     """
     if bank_layouts not in ("pk", "dual", "rs"):
         raise ValueError(f"bank_layouts must be 'pk', 'dual' or 'rs': {bank_layouts}")
@@ -233,6 +240,62 @@ def hypercube_bank_bytes(g: int, a: int, itemsize: int, bank_layouts: str = "dua
     return 2 * rs_pad + (2 * gm_pad if bank_layouts == "dual" else 0)
 
 
+def _tile_padded_bytes(shape: Tuple[int, ...], itemsize: int) -> int:
+    """Device bytes of an array under TPU tiling: the last dim pads to a
+    128-lane multiple, the second-to-last to the sublane tile (8 rows at
+    4 bytes, 16 at 2, 32 at 1); leading dims are untiled."""
+    if len(shape) == 1:
+        shape = (1,) + tuple(shape)
+    sub = {1: 32, 2: 16, 4: 8}.get(itemsize, 8)
+    lead = 1
+    for dim in shape[:-2]:
+        lead *= dim
+    subs = -(-shape[-2] // sub) * sub
+    lanes = -(-shape[-1] // 128) * 128
+    return lead * subs * lanes * itemsize
+
+
+def hypercube_traffic_bytes(adj: HypercubeAdj, feat_dim: int, feat_itemsize: int = 2) -> int:
+    """HBM bytes moved by ONE propagation (M x or Mᵀ x) of rg-layout
+    features through the production two-kernel pipeline — the format's real
+    traffic model, used by bench.py to compute an honest roofline fraction.
+
+    Streams counted (see ops/pallas_hyper.py for the structure):
+      K1:        read x_rg [A,G,F], read the K1 bank, write z_gc [G,A,F]
+      relayout:  read z_gc, write z_rg [A,G,F]
+      K2:        read d [A,G] f32, read the K2 bank, read z_rg, read x_flat
+                 [N,F], read x_rg (diagonal), write out [A,G,F]
+      relayout:  read x_rg, write x_flat
+    All padded to real TPU tile sizes (the z_gc/gc-bank (·,A,·) middle dims
+    are where padding dominates at odd A).
+    """
+    a, g = adj.d.shape
+    n = a * g
+    it = jnp.dtype(adj.wf_rs.dtype).itemsize
+    fit = feat_itemsize
+    rg = _tile_padded_bytes((a, g, feat_dim), fit)
+    gc = _tile_padded_bytes((g, a, feat_dim), fit)
+    flat = _tile_padded_bytes((n, feat_dim), fit)
+    layout = adj.bank_layout
+    if layout == "dual":
+        bank1 = _tile_padded_bytes((g, a, a), it)  # g-major K1 bank
+    elif layout == "pk":
+        bank1 = _tile_padded_bytes((a * a, g), it)
+    else:
+        bank1 = _tile_padded_bytes((a, g, a), it)  # r-major
+    bank2 = (
+        _tile_padded_bytes((a * a, g), it)
+        if layout == "pk"
+        else _tile_padded_bytes((a, g, a), it)
+    )
+    diag = _tile_padded_bytes((a, g), 4)
+    k1 = rg + bank1 + gc
+    z_relayout = gc + rg
+    k2 = diag + bank2 + rg + flat + rg + rg
+    x_relayout = rg + flat
+    return k1 + z_relayout + k2 + x_relayout
+
+
 def embed_features(adj: HypercubeAdj, x_real: jnp.ndarray) -> jnp.ndarray:
     """Scatter real-node features into the hypercube layout (absent ids = 0)."""
     out = jnp.zeros((adj.n_out,) + x_real.shape[1:], x_real.dtype)
@@ -286,7 +349,11 @@ def _hyper_apply(d, w1, w2, x_rg, scale=1.0, shift=0.0, w_layout="gm"):
     f_ok = f <= 256 or f % 128 == 0
     # 4-byte dtypes brush the VMEM ceiling at the mandatory 128-key blocks;
     # f32 propagation (small graphs / parity runs) stays on the einsum path.
-    if _use_pallas() and f_ok and g >= 128 and x_rg.dtype.itemsize == 2:
+    # The packed ("pk") kernels have NO compiled-TPU evidence — the packed K2
+    # failed to compile at 5-gram scale (scoped-VMEM OOM, see
+    # experiments/exp_packed_k2.log) — so pk-mode graphs route to XLA einsum
+    # until a validated kernel exists (pk is the memory fallback, not speed).
+    if _use_pallas() and f_ok and g >= 128 and x_rg.dtype.itemsize == 2 and w_layout != "pk":
         from protgram_directgcn_tpu.ops import pallas_hyper
 
         return pallas_hyper.apply_hyper_pallas(

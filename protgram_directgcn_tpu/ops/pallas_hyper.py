@@ -174,8 +174,10 @@ def apply_hyper_pallas(
     ``w_layout`` selects the bank layouts:
       "gm" — w1 g-major [g, c, r], w2 r-major [r, g, c] (fastest dual mode)
       "rs" — both r-major (memory-lean, ~+4 ms/prop K1)
-      "pk" — both packed [A*A, G] (near-zero bank tile padding: fast AND
-             ~6x leaner than r-major; see _k1_body_pk)
+      "pk" — both packed [A*A, G]: near-zero bank tile padding (~6x leaner
+             than r-major on device) but a ~45% slower K1 (measured 14.32 vs
+             9.84 ms/iter, experiments/exp_packed_k1.log) — the memory
+             fallback, not the speed choice; see _k1_body_pk
     ``w1_is_gm`` is the legacy boolean spelling of gm/rs.
 
     d: [A, G] f32 diagonal (rg layout; flat order == node order)
@@ -186,6 +188,9 @@ def apply_hyper_pallas(
         w_layout = "gm" if w1_is_gm else "rs"
     expect = {"gm": (g, a, a), "rs": (a, g, a), "pk": (a * a, g)}[w_layout]
     assert w1.shape == expect, (w1.shape, w_layout, a, g)
+    # w2 (the K2-side bank) is r-major in both gm and rs modes.
+    expect2 = (a * a, g) if w_layout == "pk" else (a, g, a)
+    assert w2.shape == expect2, (w2.shape, w_layout, a, g)
     n_hyper = a * g
     f_tile = 128 if f % 128 == 0 else f
     assert f % f_tile == 0 and f_tile <= 256, (f, f_tile)

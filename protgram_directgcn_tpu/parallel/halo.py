@@ -47,10 +47,16 @@ class HaloPartition:
     send_idx: jnp.ndarray  # [D, D, S] int32
     num_nodes: int = struct.field(pytree_node=False, default=0)
     rows_per_shard: int = struct.field(pytree_node=False, default=0)
+    # Debug: assert per-peer checksums of the exchanged boundary features
+    # (SURVEY §5.2 — the TPU equivalent of the reference's determinism
+    # tooling, gnn_benchmarker.py:41-52).  The checksums ride a second tiny
+    # all_to_all and are compared against the received chunks host-side.
+    debug_checksums: bool = struct.field(pytree_node=False, default=False)
 
 
 def build_halo_partition(
-    src: np.ndarray, tgt: np.ndarray, w: np.ndarray, num_nodes: int, num_shards: int
+    src: np.ndarray, tgt: np.ndarray, w: np.ndarray, num_nodes: int, num_shards: int,
+    debug_checksums: bool = False,
 ) -> HaloPartition:
     """Precompute the partitioned halo-exchange layout (host side)."""
     nd = -(-num_nodes // num_shards)  # padded rows per shard
@@ -123,6 +129,14 @@ def build_halo_partition(
         send_idx=jnp.asarray(send_idx),
         num_nodes=int(num_nodes),
         rows_per_shard=int(nd),
+        debug_checksums=bool(debug_checksums),
+    )
+
+
+def _assert_checksums(expected, got):
+    np.testing.assert_allclose(
+        np.asarray(expected), np.asarray(got), rtol=1e-5, atol=1e-6,
+        err_msg="halo exchange checksum mismatch (corrupted boundary features)",
     )
 
 
@@ -164,6 +178,19 @@ def halo_propagate(part: HaloPartition, x: jnp.ndarray, mesh: Mesh, axis: str = 
         recv = jax.lax.all_to_all(send_buf, axis, split_axis=0, concat_axis=0, tiled=False)
         # all_to_all with split/concat 0 on [D, S, F]: chunk p of the result
         # holds what peer p sent us.
+        if part.debug_checksums:
+            # Exchange per-peer checksums of the sent chunks and compare with
+            # the received chunks: transport corruption / a mis-ordered
+            # exchange shows up as a mismatch (bit-exact data -> identical
+            # same-shape reductions).
+            sent_sums = jnp.sum(
+                send_buf.astype(jnp.float32), axis=(1, 2), keepdims=True
+            )  # [D, 1, 1]
+            recv_sums = jax.lax.all_to_all(
+                sent_sums, axis, split_axis=0, concat_axis=0, tiled=False
+            ).reshape(d)
+            got_sums = jnp.sum(recv.astype(jnp.float32), axis=(1, 2))
+            jax.debug.callback(_assert_checksums, recv_sums, got_sums)
         recv_flat = recv.reshape(d * send_idx.shape[1], x_local.shape[1])
         # 2. Local aggregation (no dependence on recv → overlaps the collective).
         out = _ell_block(l_idx, l_w, x_local)
@@ -258,9 +285,12 @@ def propagate_halo(adj: HaloAdj, x: jnp.ndarray) -> jnp.ndarray:
     return _halo_propagate_cv(adj.fwd, adj.bwd, x)
 
 
-def build_halo_adjacency(src, tgt, w, num_nodes: int, num_shards: int, axis: str = "nodes") -> HaloAdj:
+def build_halo_adjacency(
+    src, tgt, w, num_nodes: int, num_shards: int, axis: str = "nodes",
+    debug_checksums: bool = False,
+) -> HaloAdj:
     return HaloAdj(
-        fwd=build_halo_partition(src, tgt, w, num_nodes, num_shards),
-        bwd=build_halo_partition(tgt, src, w, num_nodes, num_shards),
+        fwd=build_halo_partition(src, tgt, w, num_nodes, num_shards, debug_checksums),
+        bwd=build_halo_partition(tgt, src, w, num_nodes, num_shards, debug_checksums),
         axis=axis,
     )

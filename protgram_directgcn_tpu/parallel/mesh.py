@@ -144,19 +144,24 @@ def shard_model_params(params: Any, mesh: Mesh) -> Any:
     return sharded
 
 
-def build_distributed_device_graph(graph, num_shards: int) -> DeviceGraph:
+def build_distributed_device_graph(
+    graph, num_shards: int, debug_checksums: bool = False
+) -> DeviceGraph:
     """DeviceGraph whose three operators are explicit halo-exchange
     adjacencies (edge-partitioned over `num_shards` node blocks).
 
     The DirectGCN model runs on this unchanged — `ops.spmm.propagate`
     dispatches HaloAdj members to the shard_map halo path.  Use inside
-    `parallel.halo.active_mesh(mesh)`."""
+    `parallel.halo.active_mesh(mesh)`.  ``debug_checksums`` asserts per-peer
+    checksums on every exchanged boundary buffer (SURVEY §5.2)."""
     from protgram_directgcn_tpu.graph.transforms import csr_to_coo_arrays
     from protgram_directgcn_tpu.parallel.halo import build_halo_adjacency
 
     def halo_from(m):
         s, t, v = csr_to_coo_arrays(m)
-        return build_halo_adjacency(s, t, v, graph.num_nodes, num_shards)
+        return build_halo_adjacency(
+            s, t, v, graph.num_nodes, num_shards, debug_checksums=debug_checksums
+        )
 
     return DeviceGraph(
         p_in=halo_from(graph.mathcal_a_in()),

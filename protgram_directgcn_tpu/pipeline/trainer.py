@@ -301,20 +301,68 @@ class HierarchicalTrainer:
         feat_dim = x_np.shape[1]
         layer_dims = tuple([feat_dim] + list(gcn.hidden_layer_dims))
         use_pallas = gcn.spmm_mode == "pallas"
-        full_graph = self._to_device_graph(graph, max(layer_dims))
-        node_map = None if full_graph.node_map is None else np.asarray(full_graph.node_map)
+
+        # ---- Multi-chip: consume ParallelConfig (north-star integration;
+        # the reference is single-device, SURVEY.md §2.3).  mesh_nodes > 1
+        # builds a ("nodes","feat") mesh and trains the level distributed:
+        # "halo" uses the explicit edge-partitioned all_to_all exchange,
+        # "gspmd" row-shards the adjacency and lets XLA insert collectives.
+        par = getattr(self.config, "parallel", None)
+        mesh_devices = 0
+        if par is not None and par.mesh_nodes is not None:
+            mesh_devices = int(par.mesh_nodes) * max(int(par.mesh_feats), 1)
+        distributed = mesh_devices > 1
+        mesh = None
+        if distributed:
+            from protgram_directgcn_tpu.parallel.mesh import (
+                build_distributed_device_graph,
+                make_mesh,
+                shard_device_graph,
+            )
+
+            mesh = make_mesh(mesh_devices, feat_axis=max(int(par.mesh_feats), 1))
+            node_shards = mesh.shape["nodes"]
+            if par.mode == "halo":
+                full_graph = build_distributed_device_graph(
+                    graph, node_shards, debug_checksums=par.debug_checksums
+                )
+            elif par.mode == "gspmd":
+                # Row-alignable format required (the hypercube node space
+                # does not block-partition by node id); ELL covers every
+                # level.
+                dtype = jnp.bfloat16 if gcn.compute_dtype == "bfloat16" else jnp.float32
+                full_graph = shard_device_graph(
+                    graph.to_device(mode="ell", feat_dim=max(layer_dims), dtype=dtype),
+                    mesh,
+                )
+            else:
+                raise ValueError(f"unknown parallel.mode: {par.mode!r}")
+            node_map = None
+            total_nodes = full_graph.p_in.n_out  # shard-padded node space
+            logger.info(
+                "distributed level n=%d: mesh=%s mode=%s (%d nodes padded to %d)",
+                n_val, dict(mesh.shape), par.mode, graph.num_nodes, total_nodes,
+            )
+        else:
+            full_graph = self._to_device_graph(graph, max(layer_dims))
+            node_map = None if full_graph.node_map is None else np.asarray(full_graph.node_map)
+            total_nodes = full_graph.num_nodes
 
         def pad_nodes(arr: np.ndarray) -> np.ndarray:
-            """Scatter real-node rows into the device graph's node space."""
-            if node_map is None:
-                return arr
-            out = np.zeros((full_graph.num_nodes,) + arr.shape[1:], dtype=arr.dtype)
-            out[node_map] = arr
-            return out
+            """Scatter/pad real-node rows into the device graph's node space."""
+            if node_map is not None:
+                out = np.zeros((total_nodes,) + arr.shape[1:], dtype=arr.dtype)
+                out[node_map] = arr
+                return out
+            if arr.shape[0] < total_nodes:  # shard padding (zero rows at end)
+                out = np.zeros((total_nodes,) + arr.shape[1:], dtype=arr.dtype)
+                out[: arr.shape[0]] = arr
+                return out
+            return arr
 
         model_cfg = DirectGCNConfig(
             layer_dims=layer_dims,
-            num_nodes=full_graph.num_nodes,
+            num_nodes=total_nodes,
             num_classes=num_classes,
             n_gram_len=n_val,
             one_gram_dim=(gcn.one_gram_init_dim if n_val == 1 else 0),
@@ -326,6 +374,10 @@ class HierarchicalTrainer:
             remat=gcn.remat,
         )
         params = init_directgcn_params(jax.random.PRNGKey(self.config.random_state + n_val), model_cfg)
+        if distributed:
+            from protgram_directgcn_tpu.parallel.mesh import shard_model_params
+
+            params = shard_model_params(params, mesh)
 
         l2_lambda = gcn.l2_reg_lambda
         wd = gcn.weight_decay if l2_lambda <= 0 else 0.0
@@ -339,8 +391,22 @@ class HierarchicalTrainer:
         rng = jax.random.PRNGKey(self.config.random_state * 7919 + n_val)
 
         use_cluster = (
-            gcn.use_cluster_training and graph.num_nodes > gcn.cluster_training_threshold_nodes
+            gcn.use_cluster_training
+            and graph.num_nodes > gcn.cluster_training_threshold_nodes
+            and not distributed  # the mesh IS the partitioning when distributed
         )
+        if distributed and gcn.use_cluster_training and graph.num_nodes > gcn.cluster_training_threshold_nodes:
+            logger.info("cluster training disabled under mesh parallelism (full-batch sharded)")
+        # Ambient-mesh context: the halo path requires it for its shard_map
+        # collectives; GSPMD sharding propagation benefits from it too.
+        if distributed:
+            from protgram_directgcn_tpu.parallel.halo import active_mesh
+
+            mesh_ctx = lambda: active_mesh(mesh)  # noqa: E731
+        else:
+            import contextlib
+
+            mesh_ctx = contextlib.nullcontext
         t0 = time.monotonic()
         if use_cluster:
             batches = self._make_cluster_batches(
@@ -372,6 +438,10 @@ class HierarchicalTrainer:
             x = jnp.asarray(pad_nodes(x_np))
             y = jnp.asarray(pad_nodes(y_np.astype(np.int32)))
             mask = jnp.asarray(pad_nodes(np.ones(graph.num_nodes, dtype=np.float32)))
+            if distributed:
+                from protgram_directgcn_tpu.parallel.mesh import shard_training_inputs
+
+                x, y, mask = shard_training_inputs(mesh, x, y, mask)
             start_epoch = 1
             if ckpt_dir is not None and gcn.checkpoint_every_epochs > 0:
                 from protgram_directgcn_tpu.utils import checkpoint as ckpt
@@ -381,31 +451,32 @@ class HierarchicalTrainer:
                     start_epoch, params, opt_state = restored[0] + 1, restored[1], restored[2]
             epochs_run = 0
             loss_val = float("nan")
-            for epoch in range(start_epoch, gcn.epochs_per_level + 1):
-                rng, sub = jax.random.split(rng)
-                params, opt_state, loss, primary = step(
-                    params, opt_state, full_graph, x, y, mask, jnp.float32(1.0), sub, None
-                )
-                loss_val = float(loss)
-                epochs_run = epoch
-                if metrics is not None:
-                    metrics.log_metrics(
-                        {"level": n_val, "loss": loss_val, "lr": sched.lr if sched else gcn.lr},
-                        step=epoch,
+            with mesh_ctx():
+                for epoch in range(start_epoch, gcn.epochs_per_level + 1):
+                    rng, sub = jax.random.split(rng)
+                    params, opt_state, loss, primary = step(
+                        params, opt_state, full_graph, x, y, mask, jnp.float32(1.0), sub, None
                     )
-                if sched is not None:
-                    opt_state.hyperparams["learning_rate"] = jnp.asarray(sched.step(loss_val))
-                if stopper is not None and stopper.should_stop(loss_val):
-                    logger.info("early stop at epoch %d (best %.5f)", epoch, stopper.best_loss)
-                    break
-                if (
-                    ckpt_dir is not None
-                    and gcn.checkpoint_every_epochs > 0
-                    and epoch % gcn.checkpoint_every_epochs == 0
-                ):
-                    from protgram_directgcn_tpu.utils import checkpoint as ckpt
+                    loss_val = float(loss)
+                    epochs_run = epoch
+                    if metrics is not None:
+                        metrics.log_metrics(
+                            {"level": n_val, "loss": loss_val, "lr": sched.lr if sched else gcn.lr},
+                            step=epoch,
+                        )
+                    if sched is not None:
+                        opt_state.hyperparams["learning_rate"] = jnp.asarray(sched.step(loss_val))
+                    if stopper is not None and stopper.should_stop(loss_val):
+                        logger.info("early stop at epoch %d (best %.5f)", epoch, stopper.best_loss)
+                        break
+                    if (
+                        ckpt_dir is not None
+                        and gcn.checkpoint_every_epochs > 0
+                        and epoch % gcn.checkpoint_every_epochs == 0
+                    ):
+                        from protgram_directgcn_tpu.utils import checkpoint as ckpt
 
-                    ckpt.save_train_state(ckpt_dir, epoch, params, opt_state)
+                        ckpt.save_train_state(ckpt_dir, epoch, params, opt_state)
             logger.info("full-batch training: %d epochs in %.1fs (final loss %.5f)",
                         epochs_run, time.monotonic() - t0, loss_val)
 
@@ -413,10 +484,13 @@ class HierarchicalTrainer:
         # (reference: models_utils.py:264-273).  Graph passed as a jit
         # argument — not a closure — to keep remote compiles small.
         eval_fn = jax.jit(lambda p, g, xv: directgcn_apply(p, g, xv, model_cfg, train=False))
-        _, embeds = eval_fn(params, full_graph, jnp.asarray(pad_nodes(x_np)))
-        embeds = np.asarray(embeds)
+        with mesh_ctx():
+            _, embeds = eval_fn(params, full_graph, jnp.asarray(pad_nodes(x_np)))
+            embeds = np.asarray(embeds)
         if node_map is not None:
             embeds = embeds[node_map]
+        elif embeds.shape[0] > graph.num_nodes:  # drop shard padding rows
+            embeds = embeds[: graph.num_nodes]
         return params, embeds, model_cfg, full_graph
 
     # ------------------------------------------------------------------
