@@ -142,7 +142,7 @@ class GNNBenchmarker:
     # ------------------------------------------------------------------
 
     def run_on_dataset_variant(self, ds: NodeClassificationDataset, masks, suffix: str,
-                               results_dir, epochs: int, seed: int) -> List[Dict]:
+                               results_dir, epochs: int, seed: int, metrics=None) -> List[Dict]:
         results = []
         num_classes = ds.num_classes
         zoo = self._zoo_configs()
@@ -182,8 +182,8 @@ class GNNBenchmarker:
             try:
                 best_val, best_test, history, best_params = self.train_and_evaluate(
                     name, apply_fn, params, ds, masks,
-                    epochs=epochs, lr=self.config.eval.learning_rate, wd=5e-4, seed=seed,
-                    graph=graph,
+                    epochs=epochs, lr=self.bench.lr, wd=self.bench.weight_decay,
+                    seed=seed, graph=graph,
                 )
             except Exception as e:  # parity with reference's per-model try/except
                 logger.exception("model %s failed on %s: %s", name, variant, e)
@@ -195,6 +195,11 @@ class GNNBenchmarker:
                 "dataset": variant, "model": name,
                 "best_val_accuracy": best_val, "test_accuracy": best_test,
             })
+            if metrics is not None:
+                metrics.log_metrics({
+                    "dataset": variant, "model": name, "best_val_accuracy": best_val,
+                    "test_accuracy": best_test, "seconds": time.monotonic() - t0,
+                })
 
             var_dir = ensure_dir(os.path.join(str(results_dir), variant))
             # History CSV (reference: gnn_benchmarker.py:352-356).
@@ -227,24 +232,37 @@ class GNNBenchmarker:
         epochs = epochs if epochs is not None else self.bench.epochs
         dataset_names = datasets if datasets is not None else self.bench.node_classification_datasets
 
+        from protgram_directgcn_tpu.utils.metrics import MetricLogger
+
         all_results: List[Dict] = []
-        for name in dataset_names:
-            ds = load_dataset(name, self.bench.dataset_root, seed)
-            if ds.train_mask is not None:
-                masks = (ds.train_mask, ds.val_mask, ds.test_mask)
-            else:
-                masks = seeded_split(ds.num_nodes, self.bench.split_ratios, seed)
-            all_results += self.run_on_dataset_variant(ds, masks, "_Original", results_dir, epochs, seed)
-            if self.bench.test_on_undirected:
+        # One tracked run for the whole suite (the reference wraps it in an
+        # MLflow parent run, reference: main.py:40-50).
+        with MetricLogger(os.path.join(str(results_dir), "run_benchmark"), "gnn_benchmark") as metrics:
+            metrics.log_params({
+                "datasets": dataset_names, "epochs": epochs, "lr": self.bench.lr,
+                "weight_decay": self.bench.weight_decay, "seed": seed,
+                "test_on_undirected": self.bench.test_on_undirected,
+            })
+            for name in dataset_names:
+                ds = load_dataset(name, self.bench.dataset_root, seed)
+                if ds.train_mask is not None:
+                    masks = (ds.train_mask, ds.val_mask, ds.test_mask)
+                else:
+                    masks = seeded_split(ds.num_nodes, self.bench.split_ratios, seed)
                 all_results += self.run_on_dataset_variant(
-                    ds.undirected(), masks, "_Undirected", results_dir, epochs, seed
+                    ds, masks, "_Original", results_dir, epochs, seed, metrics=metrics
                 )
-            per_ds = [r for r in all_results if r["dataset"].startswith(name)]
-            pd.DataFrame(per_ds).to_csv(
-                os.path.join(str(results_dir), f"benchmark_summary_{name}.csv"), index=False
-            )
-        if all_results:
-            pd.DataFrame(all_results).to_csv(
-                os.path.join(str(results_dir), "gnn_benchmark_FULL_SUMMARY.csv"), index=False
-            )
+                if self.bench.test_on_undirected:
+                    all_results += self.run_on_dataset_variant(
+                        ds.undirected(), masks, "_Undirected", results_dir, epochs, seed,
+                        metrics=metrics,
+                    )
+                per_ds = [r for r in all_results if r["dataset"].startswith(name)]
+                csv_path = os.path.join(str(results_dir), f"benchmark_summary_{name}.csv")
+                pd.DataFrame(per_ds).to_csv(csv_path, index=False)
+                metrics.log_artifact(f"summary_{name}", csv_path)
+            if all_results:
+                full_path = os.path.join(str(results_dir), "gnn_benchmark_FULL_SUMMARY.csv")
+                pd.DataFrame(all_results).to_csv(full_path, index=False)
+                metrics.log_artifact("full_summary", full_path)
         return all_results

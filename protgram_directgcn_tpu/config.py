@@ -133,6 +133,16 @@ class GCNConfig:
     target_nodes_per_cluster: int = 500
     min_clusters: int = 2
     max_clusters: int = 500
+    # Device-resident cap for the prepared cluster batches: above it they
+    # stay host-side and stream to the device per step (one batch resident).
+    cluster_device_budget_bytes: int = 4 << 30
+    # Dense [budget, budget] subgraph blocks up to this node budget (MXU
+    # speed); padded-ELL blocks beyond it (a 5k-node dense block is 100 MB
+    # while its edges are ~100 KB).
+    cluster_dense_max_budget: int = 1024
+    # When the level's operators compile to the gather-free hypercube format
+    # anyway, full-batch beats cluster mini-batching — route there.
+    cluster_auto_fullbatch: bool = True
     # Post-training export.
     apply_pca: bool = True
     pca_target_dim: int = 64
@@ -162,7 +172,12 @@ class Word2VecConfig:
     pooling_strategy: str = "mean"
     apply_pca: bool = True
     batch_size: int = 8192
+    # gensim-parity SGD schedule: linear decay lr -> min_alpha over training
+    # (reference: word2vec_embedder.py:89-100).
     lr: float = 0.025
+    min_alpha: float = 1e-4
+    # Frequent-word subsampling threshold (gensim `sample`); 0 disables.
+    sample: float = 1e-3
 
 
 @dataclass
@@ -224,7 +239,11 @@ class BenchmarkConfig:
     epochs: int = 200
     lr: float = 0.01
     weight_decay: float = 5e-4
-    hidden_dim: int = 64
+    # (No hidden_dim knob: per-model hidden dims are fixed to the
+    # reference's per-model hyperparameters, gnn_benchmarker.py:384-392.)
+    # Directory containing real dataset raw files (<Name>/raw/...) in the
+    # standard Planetoid/WebKB layouts; synthetic stand-ins are used when
+    # absent (no network egress).  Set via --set benchmark.dataset_root=...
     dataset_root: Optional[Path] = None
 
 

@@ -137,7 +137,8 @@ class PPIPipeline:
     # ------------------------------------------------------------------
 
     def _evaluate_embedding(
-        self, name: str, h5_path: os.PathLike, pairs: Sequence[Pair]
+        self, name: str, h5_path: os.PathLike, pairs: Sequence[Pair],
+        reporter: Optional[EvaluationReporter] = None, metrics=None,
     ) -> Optional[Dict[str, Any]]:
         cfg = self.config
         ev = cfg.eval
@@ -186,10 +187,20 @@ class PPIPipeline:
             )
             best = float("inf")
             patience = 0
+            # Per-fold training history (loss + held-out accuracy per epoch),
+            # plotted like the reference's per-fold Keras history plots
+            # (reference: results_utils.py:97-141, called from the CV loop).
+            history: Dict[str, List[float]] = {"loss": [], "val_accuracy": []}
             for _ in range(ev.epochs):
                 loss = trainer.fit_epoch(
                     _batched(feats[tr], y_tr.astype(np.float32), ev.batch_size, rng), cw
                 )
+                history["loss"].append(float(loss))
+                if ev.plot_training_history:
+                    val_acc = float(
+                        ((trainer.predict_proba(feats[te]) >= 0.5) == labels[te]).mean()
+                    )
+                    history["val_accuracy"].append(val_acc)
                 if loss < best - 1e-6:
                     best, patience = loss, 0
                 else:
@@ -206,6 +217,12 @@ class PPIPipeline:
                 fpr, tpr, _ = roc_curve(labels[te], proba)
                 roc_repr = (fpr, tpr)
             logger.info("[%s] fold %d: auc=%.4f f1=%.4f", name, fold_i + 1, m["auc"], m["f1"])
+            if metrics is not None:
+                metrics.log_metrics({"embedding": name, "fold": fold_i + 1, **m})
+            if reporter is not None and ev.plot_training_history:
+                path = reporter.plot_training_history(history, f"{name}_fold{fold_i + 1}")
+                if metrics is not None and path is not None:
+                    metrics.log_artifact(f"history_{name}_fold{fold_i + 1}", path)
 
         result: Dict[str, Any] = {"embedding_name": name, "n_folds": len(fold_metrics)}
         for key in fold_metrics[0]:
@@ -227,31 +244,46 @@ class PPIPipeline:
         pairs, embedding_files = self._load_pairs(use_dummy_data, dummy_dir)
         logger.info("PPI evaluation on %d pairs, %d embedding sets", len(pairs), len(embedding_files))
 
-        results = []
-        for entry in embedding_files:
-            name, path = entry["name"], entry["path"]
-            if not os.path.exists(str(path)):
-                logger.warning("[%s] embedding file missing: %s", name, path)
-                continue
-            res = self._evaluate_embedding(name, path, pairs)
-            if res:
-                results.append(res)
+        from protgram_directgcn_tpu.utils.metrics import MetricLogger
 
-        if results:
-            reporter = EvaluationReporter(output_dir, cfg.eval.k_values_for_table)
-            main_name = (
-                cfg.eval.main_embedding_for_stats
-                if any(r["embedding_name"] == cfg.eval.main_embedding_for_stats for r in results)
-                else results[0]["embedding_name"]
-            )
-            reporter.write_summary_file(results, main_name, "test_auc", cfg.eval.statistical_test_alpha)
-            reporter.plot_roc_curves(results)
-            reporter.plot_comparison_charts(results)
-            serializable = [
-                {k: v for k, v in r.items() if k != "roc_data_representative"} for r in results
-            ]
-            with open(os.path.join(str(output_dir), "ppi_results.json"), "w") as f:
-                json.dump(serializable, f, indent=2)
+        reporter = EvaluationReporter(output_dir, cfg.eval.k_values_for_table)
+        results = []
+        # One tracked run for the evaluation suite; per-fold metric records
+        # play the reference's MLflow parent/nested runs
+        # (reference: ppi_main.py:299-311).
+        with MetricLogger(os.path.join(str(output_dir), "run_ppi"), "ppi_eval") as metrics:
+            metrics.log_params({
+                "n_pairs": len(pairs), "n_folds": cfg.eval.n_folds,
+                "edge_embedding_method": cfg.eval.edge_embedding_method,
+                "embedding_sets": [str(e["name"]) for e in embedding_files],
+                "use_dummy_data": use_dummy_data,
+            })
+            for entry in embedding_files:
+                name, path = entry["name"], entry["path"]
+                if not os.path.exists(str(path)):
+                    logger.warning("[%s] embedding file missing: %s", name, path)
+                    continue
+                res = self._evaluate_embedding(name, path, pairs, reporter=reporter, metrics=metrics)
+                if res:
+                    results.append(res)
+
+            if results:
+                main_name = (
+                    cfg.eval.main_embedding_for_stats
+                    if any(r["embedding_name"] == cfg.eval.main_embedding_for_stats for r in results)
+                    else results[0]["embedding_name"]
+                )
+                reporter.write_summary_file(results, main_name, "test_auc", cfg.eval.statistical_test_alpha)
+                reporter.plot_roc_curves(results)
+                reporter.plot_comparison_charts(results)
+                serializable = [
+                    {k: v for k, v in r.items() if k != "roc_data_representative"} for r in results
+                ]
+                json_path = os.path.join(str(output_dir), "ppi_results.json")
+                with open(json_path, "w") as f:
+                    json.dump(serializable, f, indent=2)
+                metrics.log_artifact("ppi_results", json_path)
+                metrics.log_artifact("plots_dir", reporter.plots_dir)
         logger.info("PPI evaluation finished in %.1fs", time.monotonic() - t0)
         return results
 

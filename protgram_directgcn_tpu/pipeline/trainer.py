@@ -24,7 +24,7 @@ import functools
 import os
 import time
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -143,12 +143,29 @@ _HYPERCUBE_MAX_RATIO = 4.0
 
 @dataclass
 class ClusterBatch:
+    """One padded Cluster-GCN subgraph batch.
+
+    Arrays are either device-resident (jnp) or host numpy when the total
+    cluster working set exceeds ``GCNConfig.cluster_device_budget_bytes`` —
+    then ``to_device()`` is called per step and the device holds ONE batch
+    at a time (plus the compiled step's workspace) instead of every
+    cluster's blocks at once (the round-1 failure mode: ~150 GB of dense
+    blocks at 5-gram scale)."""
+
     graph: DeviceGraph
-    x: jnp.ndarray
-    y: jnp.ndarray
-    mask: jnp.ndarray
+    x: Any
+    y: Any
+    mask: Any
     weight_factor: float
-    original_indices: jnp.ndarray
+    original_indices: Any
+
+    def to_device(self) -> "ClusterBatch":
+        dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
+        return ClusterBatch(
+            graph=dev(self.graph), x=jnp.asarray(self.x), y=jnp.asarray(self.y),
+            mask=jnp.asarray(self.mask), weight_factor=self.weight_factor,
+            original_indices=jnp.asarray(self.original_indices),
+        )
 
 
 class HierarchicalTrainer:
@@ -230,13 +247,24 @@ class HierarchicalTrainer:
         y: np.ndarray,
         seed: int,
         node_map: Optional[np.ndarray] = None,
-    ) -> List[ClusterBatch]:
+    ) -> Tuple[List[ClusterBatch], bool]:
         """Partition into Cluster-GCN subgraph batches padded to one common
-        node budget (reference: protgram_directgcn_trainer.py:152-198)."""
+        node budget (reference: protgram_directgcn_trainer.py:152-198).
+
+        Every batch shares one shape signature (node budget; ELL widths),
+        so all clusters reuse a single compiled step.  Small budgets build
+        dense [budget, budget] blocks (fastest on the MXU); larger budgets
+        build padded-ELL blocks (a 5k-node dense block is 100 MB while its
+        edges are ~100 KB).  Returns ``(batches, device_resident)`` —
+        batches are uploaded up front only while their total fits
+        ``GCNConfig.cluster_device_budget_bytes``; beyond it they stay host
+        numpy and stream per step.
+        """
+        gcn = self.gcn
         n = graph.num_nodes
-        num_clusters = int(np.ceil(n / self.gcn.target_nodes_per_cluster))
-        num_clusters = max(self.gcn.min_clusters, num_clusters)
-        num_clusters = min(num_clusters, self.gcn.max_clusters)
+        num_clusters = int(np.ceil(n / gcn.target_nodes_per_cluster))
+        num_clusters = max(gcn.min_clusters, num_clusters)
+        num_clusters = min(num_clusters, gcn.max_clusters)
         logger.info("partitioning %d nodes into %d clusters", n, num_clusters)
 
         m_in = graph.mathcal_a_in()
@@ -248,23 +276,58 @@ class HierarchicalTrainer:
         sizes = np.bincount(labels, minlength=num_clusters)
         budget = int(sizes.max())
         budget = ((budget + 7) // 8) * 8  # pad to sublane multiple
+        fmt = "dense" if budget <= gcn.cluster_dense_max_budget else "ell"
+
+        from protgram_directgcn_tpu.ops.spmm import _ell_one_sided
+
+        cluster_nodes = [np.nonzero(labels == c)[0] for c in range(num_clusters)]
+        cluster_nodes = [nd for nd in cluster_nodes if len(nd)]
+
+        def sub_coo(m, nodes):
+            block = m[nodes][:, nodes].tocoo()
+            return (
+                block.row.astype(np.int64),
+                block.col.astype(np.int64),
+                block.data.astype(np.float32),
+            )
+
+        if fmt == "dense":
+            def make_adj(m, nodes, _k):
+                r, c, v = sub_coo(m, nodes)
+                at = np.zeros((budget, budget), np.float32)
+                np.add.at(at, (c, r), v)  # A^T: aggregate at targets
+                from protgram_directgcn_tpu.ops.spmm import DenseAdj
+
+                return DenseAdj(at=at)
+
+            k_widths = [None] * 3
+        else:
+            # Common ELL width per matrix across clusters -> one compiled step.
+            def max_deg(m):
+                k = 0
+                for nodes in cluster_nodes:
+                    r, c, v = sub_coo(m, nodes)
+                    if len(c):
+                        k = max(k, int(np.bincount(c).max()), int(np.bincount(r).max()))
+                return max(4, -(-k // 4) * 4)
+
+            k_widths = [max_deg(m) for m in (m_in, m_out, m_und)]
+
+            def make_adj(m, nodes, k):
+                from protgram_directgcn_tpu.ops.spmm import EllAdj
+
+                r, c, v = sub_coo(m, nodes)
+                idx, w = _ell_one_sided(r, c, v, budget)
+                idx_t, w_t = _ell_one_sided(c, r, v, budget)
+                pad = lambda a: np.pad(a, ((0, 0), (0, k - a.shape[1])))  # noqa: E731
+                return EllAdj(idx=pad(idx), w=pad(w), idx_t=pad(idx_t), w_t=pad(w_t))
 
         batches = []
-        for c in range(num_clusters):
-            nodes = np.nonzero(labels == c)[0]
-            if len(nodes) == 0:
-                continue
-            pad = budget - len(nodes)
-
-            def sub_dense(m):
-                block = m[nodes][:, nodes].tocoo()
-                return build_adjacency(
-                    block.row.astype(np.int32), block.col.astype(np.int32),
-                    block.data.astype(np.float32), budget, mode="dense",
-                )
-
+        for nodes in cluster_nodes:
             dg = DeviceGraph(
-                p_in=sub_dense(m_in), p_out=sub_dense(m_out), p_und=sub_dense(m_und),
+                p_in=make_adj(m_in, nodes, k_widths[0]),
+                p_out=make_adj(m_out, nodes, k_widths[1]),
+                p_und=make_adj(m_und, nodes, k_widths[2]),
                 num_nodes=budget,
             )
             x_sub = np.zeros((budget, x.shape[1]), dtype=np.float32)
@@ -279,15 +342,26 @@ class HierarchicalTrainer:
             orig[: len(nodes)] = nodes if node_map is None else node_map[nodes]
             batches.append(
                 ClusterBatch(
-                    graph=dg,
-                    x=jnp.asarray(x_sub),
-                    y=jnp.asarray(y_sub),
-                    mask=jnp.asarray(mask),
-                    weight_factor=float(len(nodes) / n),
-                    original_indices=jnp.asarray(orig),
+                    graph=dg, x=x_sub, y=y_sub, mask=mask,
+                    weight_factor=float(len(nodes) / n), original_indices=orig,
                 )
             )
-        return batches
+
+        total_bytes = sum(
+            a.nbytes
+            for b in batches
+            for a in jax.tree_util.tree_leaves((b.graph, b.x, b.y, b.mask, b.original_indices))
+        )
+        resident = total_bytes <= gcn.cluster_device_budget_bytes
+        logger.info(
+            "cluster batches: %d x budget=%d (%s blocks) = %.2f GB total -> %s",
+            len(batches), budget, fmt, total_bytes / 1e9,
+            "device-resident" if resident else
+            f"host-streamed (budget {gcn.cluster_device_budget_bytes / 1e9:.2f} GB)",
+        )
+        if resident:
+            batches = [b.to_device() for b in batches]
+        return batches, resident
 
     # ------------------------------------------------------------------
 
@@ -397,6 +471,17 @@ class HierarchicalTrainer:
         )
         if distributed and gcn.use_cluster_training and graph.num_nodes > gcn.cluster_training_threshold_nodes:
             logger.info("cluster training disabled under mesh parallelism (full-batch sharded)")
+        if use_cluster and gcn.cluster_auto_fullbatch:
+            from protgram_directgcn_tpu.ops.hypercube import HypercubeAdj
+
+            if isinstance(full_graph.p_in, HypercubeAdj):
+                # The level already compiled to the gather-free full-batch
+                # format — strictly faster than cluster mini-batching, and
+                # sidesteps materialising per-cluster blocks entirely.
+                logger.info(
+                    "auto-routing n=%d to full-batch (hypercube operators built)", n_val
+                )
+                use_cluster = False
         # Ambient-mesh context: the halo path requires it for its shard_map
         # collectives; GSPMD sharding propagation benefits from it too.
         if distributed:
@@ -409,7 +494,7 @@ class HierarchicalTrainer:
             mesh_ctx = contextlib.nullcontext
         t0 = time.monotonic()
         if use_cluster:
-            batches = self._make_cluster_batches(
+            batches, resident = self._make_cluster_batches(
                 graph, x_np, y_np, self.config.random_state, node_map=node_map
             )
             shuffle_rng = np.random.default_rng(self.config.random_state + n_val)
@@ -418,7 +503,9 @@ class HierarchicalTrainer:
                 order = shuffle_rng.permutation(len(batches))
                 epoch_loss = 0.0
                 for bi in order:
-                    b = batches[bi]
+                    # Streaming mode: upload this batch only (the previous
+                    # batch's device buffers die with its step).
+                    b = batches[bi] if resident else batches[bi].to_device()
                     rng, sub = jax.random.split(rng)
                     params, opt_state, loss, _ = step(
                         params, opt_state, b.graph, b.x, b.y, b.mask,

@@ -21,7 +21,6 @@ from typing import Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from protgram_directgcn_tpu.config import Config
 from protgram_directgcn_tpu.utils import embeddings as emb_utils
@@ -29,11 +28,24 @@ from protgram_directgcn_tpu.utils.io import ensure_dir, logger, parse_fasta, wri
 
 
 class SkipGramModel:
-    """Tiny-vocabulary skip-gram with negative sampling."""
+    """Tiny-vocabulary skip-gram with negative sampling.
 
-    def __init__(self, vocab: List[str], dim: int, lr: float = 0.025, seed: int = 42):
+    Training dynamics follow gensim's (reference:
+    word2vec_embedder.py:89-100): plain SGD whose learning rate decays
+    linearly from ``lr`` to ``min_alpha`` over the planned number of
+    updates, *dynamic* context windows (per-center reduced window b ~
+    U{1..window}), and frequent-word subsampling (``sample`` threshold),
+    with the window/subsample draws resampled every epoch.  Pairs are
+    generated streaming, per sequence block — nothing is materialised for
+    the whole corpus.
+    """
+
+    def __init__(self, vocab: List[str], dim: int, lr: float = 0.025, seed: int = 42,
+                 min_alpha: float = 1e-4):
         self.vocab = vocab
         self.token_to_id = {t: i for i, t in enumerate(vocab)}
+        self.lr = float(lr)
+        self.min_alpha = float(min_alpha)
         v = len(vocab)
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
@@ -42,15 +54,11 @@ class SkipGramModel:
             "in": jax.random.uniform(k1, (v, dim), jnp.float32, -0.5 / dim, 0.5 / dim),
             "out": jnp.zeros((v, dim), jnp.float32),
         }
-        self.opt = optax.adam(1e-3)
-        self.opt_state = self.opt.init(self.params)
         self._step = self._make_step()
 
     def _make_step(self):
-        opt = self.opt
-
         @jax.jit
-        def step(params, opt_state, center, context, negatives):
+        def step(params, lr, center, context, negatives):
             def loss_fn(p):
                 vc = p["in"][center]  # [B, D]
                 uo = p["out"][context]  # [B, D]
@@ -60,46 +68,94 @@ class SkipGramModel:
                 return -jnp.mean(pos + neg)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+            params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+            return params, loss
 
         return step
 
+    @staticmethod
+    def _block_pairs(ids: np.ndarray, window: int, rng: np.random.Generator):
+        """Skip-gram pairs of one (already subsampled) sequence under a
+        per-center dynamic window: center i pairs with neighbours within
+        b_i ~ U{1..window} (gensim's reduced-window sampling)."""
+        L = len(ids)
+        if L < 2:
+            return None
+        b = rng.integers(1, window + 1, L)
+        cs, xs = [], []
+        for off in range(1, window + 1):
+            keep_f = b[: L - off] >= off  # center on the left
+            keep_b = b[off:] >= off  # center on the right
+            cs.append(ids[: L - off][keep_f])
+            xs.append(ids[off:][keep_f])
+            cs.append(ids[off:][keep_b])
+            xs.append(ids[: L - off][keep_b])
+        return np.concatenate(cs), np.concatenate(xs)
+
     def train(self, corpus_ids: List[np.ndarray], window: int, negative: int,
-              epochs: int, batch_size: int, counts: np.ndarray, seed: int = 42) -> float:
-        """Train over (center, context) pairs from all sequences."""
-        centers, contexts = [], []
-        for ids in corpus_ids:
-            L = len(ids)
-            if L < 2:
-                continue
-            for off in range(1, window + 1):
-                if L > off:
-                    centers.append(ids[:-off])
-                    contexts.append(ids[off:])
-                    centers.append(ids[off:])
-                    contexts.append(ids[:-off])
-        if not centers:
-            return float("nan")
-        centers = np.concatenate(centers)
-        contexts = np.concatenate(contexts)
+              epochs: int, batch_size: int, counts: np.ndarray, seed: int = 42,
+              sample: float = 1e-3, block_pairs: int = 1 << 20) -> float:
+        """Stream epochs of subsampled, dynamic-window skip-gram pairs."""
+        counts = np.asarray(counts, np.float64)
+        freq = counts / max(1.0, counts.sum())
+        if sample and sample > 0:
+            # gensim keep probability: min(1, sqrt(s/f) + s/f).
+            ratio = sample / np.maximum(freq, 1e-12)
+            keep_prob = np.minimum(1.0, np.sqrt(ratio) + ratio)
+        else:
+            keep_prob = np.ones(len(counts))
+
+        # Planned updates for the linear LR decay: expected kept tokens x
+        # expected window (dynamic window mean = (window+1)/2, both sides).
+        kept_total = sum(float(keep_prob[ids].sum()) for ids in corpus_ids if len(ids))
+        planned_pairs = max(1.0, epochs * kept_total * (window + 1))
 
         # Unigram^0.75 negative-sampling distribution.
-        p = counts.astype(np.float64) ** 0.75
+        p = counts**0.75
         p /= p.sum()
         rng = np.random.default_rng(seed)
         loss_val = float("nan")
-        for epoch in range(epochs):
-            perm = rng.permutation(len(centers))
-            for i in range(0, len(perm), batch_size):
+        processed = 0.0
+
+        def flush(buf_c, buf_x):
+            nonlocal loss_val, processed
+            cs = np.concatenate(buf_c)
+            xs = np.concatenate(buf_x)
+            perm = rng.permutation(len(cs))
+            for i in range(0, len(perm) - batch_size + 1, batch_size):
                 sel = perm[i : i + batch_size]
-                negs = rng.choice(len(self.vocab), size=(len(sel), negative), p=p)
-                self.params, self.opt_state, loss = self._step(
-                    self.params, self.opt_state,
-                    jnp.asarray(centers[sel]), jnp.asarray(contexts[sel]), jnp.asarray(negs),
+                negs = rng.choice(len(self.vocab), size=(batch_size, negative), p=p)
+                alpha = max(self.min_alpha, self.lr * (1.0 - processed / planned_pairs))
+                self.params, loss = self._step(
+                    self.params, jnp.float32(alpha),
+                    jnp.asarray(cs[sel]), jnp.asarray(xs[sel]), jnp.asarray(negs),
                 )
-            loss_val = float(loss)
-            logger.info("skip-gram epoch %d/%d loss %.4f", epoch + 1, epochs, loss_val)
+                processed += batch_size
+                loss_val = float(loss)
+            tail = len(perm) % batch_size
+            return ([cs[perm[-tail:]]], [xs[perm[-tail:]]]) if tail else ([], [])
+
+        for epoch in range(epochs):
+            buf_c, buf_x, buffered = [], [], 0
+            for ids in corpus_ids:
+                if len(ids) < 2:
+                    continue
+                kept = ids[rng.random(len(ids)) < keep_prob[ids]]
+                pairs = self._block_pairs(kept, window, rng)
+                if pairs is None:
+                    continue
+                buf_c.append(pairs[0])
+                buf_x.append(pairs[1])
+                buffered += len(pairs[0])
+                if buffered >= block_pairs:
+                    buf_c, buf_x = flush(buf_c, buf_x)
+                    buffered = sum(len(c) for c in buf_c)
+            if buffered:
+                flush(buf_c, buf_x)  # leftover tail of the epoch is dropped
+            logger.info("skip-gram epoch %d/%d loss %.4f (alpha %.5f)",
+                        epoch + 1, epochs,
+                        loss_val,
+                        max(self.min_alpha, self.lr * (1.0 - processed / planned_pairs)))
         return loss_val
 
     def vectors(self) -> np.ndarray:
@@ -147,13 +203,14 @@ class Word2VecEmbedder:
         counts = np.array([counter[t] for t in vocab], dtype=np.int64)
         logger.info("skip-gram vocab: %d residue symbols", len(vocab))
 
-        model = SkipGramModel(vocab, w2v.vector_size, lr=w2v.lr, seed=cfg.random_state)
+        model = SkipGramModel(vocab, w2v.vector_size, lr=w2v.lr,
+                              seed=cfg.random_state, min_alpha=w2v.min_alpha)
         tok = model.token_to_id
         corpus_ids = [
             np.array([tok[c] for c in seq if c in tok], dtype=np.int32) for _, seq in sequences
         ]
         model.train(corpus_ids, w2v.window, w2v.negative, w2v.epochs,
-                    w2v.batch_size, counts, seed=cfg.random_state)
+                    w2v.batch_size, counts, seed=cfg.random_state, sample=w2v.sample)
         model_path = os.path.join(str(output_dir), f"word2vec_model_dim{w2v.vector_size}.npz")
         model.save(model_path)
         logger.info("skip-gram model saved to %s (%.1fs)", model_path, time.time() - t0)

