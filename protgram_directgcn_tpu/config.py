@@ -153,6 +153,10 @@ class GCNConfig:
     checkpoint_every_epochs: int = 100
     # TPU-specific: compute dtype for matmuls/propagation ("bfloat16"|"float32").
     compute_dtype: str = "float32"
+    # Storage dtype for per-node gates/constant AND their Adam moments
+    # ("bfloat16" halves the dominant parameter memory at 5-gram scale —
+    # see models/directgcn.py DirectGCNConfig.node_param_dtype).
+    node_param_dtype: str = "float32"
     # Rematerialise GCN layers on backward (activation memory <-> FLOPs).
     remat: bool = False
     # Sparse format selection: "auto" picks dense vs ELL by a roofline byte

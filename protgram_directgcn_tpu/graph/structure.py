@@ -43,6 +43,10 @@ class DeviceGraph:
     p_und: Adjacency  # undirected sym-norm matrix
     num_nodes: int = struct.field(pytree_node=False, default=0)
     node_map: Optional[jnp.ndarray] = None  # [N_real] int32 device id per real node
+    # Optional layer-level fused operator covering all three matrices at
+    # once (the distributed TriHaloAdj: one halo exchange per layer instead
+    # of three).  Consumed by ops.spmm.propagate3; None -> per-matrix path.
+    tri: Optional[object] = None
 
 
 @dataclasses.dataclass

@@ -59,6 +59,14 @@ class DirectGCNConfig:
     # the TPU-native analogue of the reference's CUDA AMP autocast
     # (reference: protgram_directgcn_trainer.py:88).  No loss scaling needed.
     compute_dtype: str = "float32"
+    # Storage dtype for the PER-NODE parameters (5 gates [N,1] + constant
+    # [N,out]) — and, because optax moments follow param dtype, their Adam
+    # state.  At 5-gram hypercube scale these dominate parameter memory
+    # (~4.7 GB f32 + 9.4 GB moments for a 4-layer stack on a 16 GB chip);
+    # "bfloat16" halves all three.  Gates/constant are per-node gains and
+    # offsets applied to bf16 activations, so bf16 storage loses nothing
+    # the compute path had.
+    node_param_dtype: str = "float32"
 
     def __post_init__(self):
         if len(self.layer_dims) < 2:
@@ -84,7 +92,8 @@ def _torch_linear_init(key, in_dim, out_dim, dtype=jnp.float32):
     return w, b
 
 
-def _init_layer(key, in_dim: int, out_dim: int, num_nodes: int, use_vector_coeffs: bool) -> Params:
+def _init_layer(key, in_dim: int, out_dim: int, num_nodes: int, use_vector_coeffs: bool,
+                node_dtype=jnp.float32) -> Params:
     keys = jax.random.split(key, 6)
     p: Params = {
         # Stored [in, out] (applied as x @ w); xavier_uniform is symmetric in
@@ -102,11 +111,13 @@ def _init_layer(key, in_dim: int, out_dim: int, num_nodes: int, use_vector_coeff
     }
     gate_shape = (num_nodes, 1) if (use_vector_coeffs and num_nodes > 0) else (1,)
     for name in ("c_in", "c_out", "c_directed", "c_undirected", "c_all"):
-        p[name] = jnp.ones(gate_shape)
+        p[name] = jnp.ones(gate_shape, node_dtype)
     if num_nodes > 0:
         # torch xavier on [N, out]: fan_in = out, fan_out = N
         # (reference: protgram_directgcn.py:90-91).
-        p["constant"] = _xavier_uniform(keys[4], (num_nodes, out_dim), out_dim, num_nodes)
+        p["constant"] = _xavier_uniform(
+            keys[4], (num_nodes, out_dim), out_dim, num_nodes
+        ).astype(node_dtype)
     else:
         p["constant"] = None
     return p
@@ -118,11 +129,13 @@ def init_directgcn_params(key: jax.Array, cfg: DirectGCNConfig) -> Params:
     keys = jax.random.split(key, n_layers + 3)
     layers = []
     res_projs: List[Optional[Dict[str, jnp.ndarray]]] = []
+    node_dtype = jnp.bfloat16 if cfg.node_param_dtype == "bfloat16" else jnp.float32
     for i in range(n_layers):
         sub = jax.random.split(keys[i], 2)
         layers.append(
             _init_layer(sub[0], dims[i], dims[i + 1], cfg.num_nodes,
-                        cfg.use_vector_coeffs and cfg.num_nodes > 0)
+                        cfg.use_vector_coeffs and cfg.num_nodes > 0,
+                        node_dtype=node_dtype)
         )
         if dims[i] != dims[i + 1]:
             w, b = _torch_linear_init(sub[1], dims[i], dims[i + 1])
@@ -189,9 +202,12 @@ def _layer_apply(
             proj[..., out_dim : 2 * out_dim],
             proj[..., 2 * out_dim :],
         )
-        ic = propagate(graph.p_in, x_in, use_pallas) + p["b_main_in"] + p["b_shared_in"]
-        oc = propagate(graph.p_out, x_out, use_pallas) + p["b_main_out"] + p["b_shared_out"]
-        uc = propagate(graph.p_und, x_und, use_pallas) + p["b_und"] + p["b_shared_und"]
+        from protgram_directgcn_tpu.ops.spmm import propagate3
+
+        pi, po, pu = propagate3(graph, x_in, x_out, x_und, use_pallas)
+        ic = pi + p["b_main_in"] + p["b_shared_in"]
+        oc = po + p["b_main_out"] + p["b_shared_out"]
+        uc = pu + p["b_und"] + p["b_shared_und"]
     else:
         # Literal 6-propagation dataflow for parity testing.
         x = x.astype(ct)
@@ -271,20 +287,30 @@ def directgcn_apply(
     else:
         drop_keys = [None] * (n_layers + 1)
 
-    def layer_block(layer_p, rp, hh):
+    ct = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+    def layer_block(layer_p, rp, hh, drop_key):
         gcn_out = _layer_apply(layer_p, graph, hh, cfg, original_indices)
         res_out = hh if rp is None else hh @ rp["w"] + rp["b"]
-        return jax.nn.leaky_relu(gcn_out + res_out, negative_slope=cfg.leaky_relu_slope)
+        out = jax.nn.leaky_relu(gcn_out + res_out, negative_slope=cfg.leaky_relu_slope)
+        # Dropout INSIDE the (possibly remat'd) block: the bernoulli mask is
+        # recomputed on backward instead of being saved per layer — at
+        # 5-gram hypercube scale each saved mask is ~0.5 GB.
+        if train and drop_key is not None and cfg.dropout > 0:
+            keep = 1.0 - cfg.dropout
+            mask = jax.random.bernoulli(drop_key, keep, out.shape)
+            out = jnp.where(mask, out / keep, 0.0)
+        # bf16 inter-layer carry under bf16 compute: the next layer casts to
+        # bf16 anyway, and the saved-for-backward activation halves (the
+        # backward-saved f32 copies were the largest OOM allocations at
+        # 5-gram scale — see experiments/exp_memwall_r2.py).
+        return out.astype(ct) if ct is not None else out
 
     if cfg.remat:
         layer_block = jax.checkpoint(layer_block, static_argnums=())
 
     for i in range(n_layers):
-        h = layer_block(params["layers"][i], params["res_projs"][i], h)
-        if train and drop_keys[i] is not None and cfg.dropout > 0:
-            keep = 1.0 - cfg.dropout
-            mask = jax.random.bernoulli(drop_keys[i], keep, h.shape)
-            h = jnp.where(mask, h / keep, 0.0)
+        h = layer_block(params["layers"][i], params["res_projs"][i], h, drop_keys[i])
 
     dec = params["decoder"]
     z = jax.nn.relu(h @ dec["w1"] + dec["b1"])
@@ -294,8 +320,9 @@ def directgcn_apply(
         z = jnp.where(mask, z / keep, 0.0)
     logits = z @ dec["w2"] + dec["b2"]
 
-    norm = jnp.linalg.norm(h, axis=-1, keepdims=True)
-    normalized = h / (norm + cfg.l2_eps)
+    h32 = h.astype(jnp.float32)
+    norm = jnp.linalg.norm(h32, axis=-1, keepdims=True)
+    normalized = h32 / (norm + cfg.l2_eps)
     log_sm = jax.nn.log_softmax(logits, axis=-1)
     if rg_lead is not None:
         log_sm = log_sm.reshape((-1,) + log_sm.shape[2:])

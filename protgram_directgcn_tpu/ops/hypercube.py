@@ -342,20 +342,30 @@ def _hyper_apply(d, w1, w2, x_rg, scale=1.0, shift=0.0, w_layout="gm"):
     """
     a, g = d.shape
     f = x_rg.shape[2]
-    # Feature blocks span the full F axis (Mosaic equal-dims escape), so any
-    # F <= 256 lowers; above that F must tile by 128.  Non-128-multiples pay
-    # lane padding in VMEM/DMA — still far cheaper than the einsum path,
-    # whose XLA lowering materializes transposed bank copies.
-    f_ok = f <= 256 or f % 128 == 0
     # 4-byte dtypes brush the VMEM ceiling at the mandatory 128-key blocks;
     # f32 propagation (small graphs / parity runs) stays on the einsum path.
     # The packed ("pk") kernels have NO compiled-TPU evidence — the packed K2
     # failed to compile at 5-gram scale (scoped-VMEM OOM, see
     # experiments/exp_packed_k2.log) — so pk-mode graphs route to XLA einsum
     # until a validated kernel exists (pk is the memory fallback, not speed).
-    if _use_pallas() and f_ok and g >= 128 and x_rg.dtype.itemsize == 2 and w_layout != "pk":
+    if _use_pallas() and g >= 128 and x_rg.dtype.itemsize == 2 and w_layout != "pk":
         from protgram_directgcn_tpu.ops import pallas_hyper
 
+        # Pad the feature dim to a 128-lane multiple at the kernel boundary:
+        # HBM tiles store the lane dim 128-padded anyway, so the padded
+        # kernel moves the same bytes — but a 128-multiple F keeps the
+        # in-register sublane split legal, so K2 reads x_flat directly and
+        # the 1.5x-sublane-padded materialized gc view (the (128->64)-layer
+        # OOM driver at 5-gram scale) never exists.  XLA fuses the pad into
+        # the producer and the slice into the consumer.
+        f_pad = -(-f // 128) * 128
+        if f_pad != f:
+            out = pallas_hyper.apply_hyper_pallas(
+                d, w1, w2,
+                jnp.pad(x_rg, ((0, 0), (0, 0), (0, f_pad - f))),
+                scale=scale, shift=shift, w_layout=w_layout,
+            )
+            return out[..., :f]
         return pallas_hyper.apply_hyper_pallas(
             d, w1, w2, x_rg, scale=scale, shift=shift, w_layout=w_layout
         )

@@ -501,6 +501,27 @@ def propagate(adj: Adjacency, x: jnp.ndarray, use_pallas: bool = False) -> jnp.n
     raise TypeError(f"Unknown adjacency type: {type(adj)}")
 
 
+def propagate3(graph, x_in: jnp.ndarray, x_out: jnp.ndarray, x_und: jnp.ndarray,
+               use_pallas: bool = False):
+    """The three per-path propagations of a DirectGCN layer:
+    ``(P_in x_in, P_out x_out, P_und x_und)``.
+
+    Dispatches to the layer-level fused operator when the device graph
+    carries one (distributed TriHaloAdj: ONE halo exchange serves all three
+    matrices, parallel/halo.py), else falls back to three independent
+    propagations."""
+    tri = getattr(graph, "tri", None)
+    if tri is not None:
+        from protgram_directgcn_tpu.parallel import halo as _halo
+
+        return _halo.propagate_tri(tri, x_in, x_out, x_und)
+    return (
+        propagate(graph.p_in, x_in, use_pallas),
+        propagate(graph.p_out, x_out, use_pallas),
+        propagate(graph.p_und, x_und, use_pallas),
+    )
+
+
 def propagate_affine(adj: Adjacency, x: jnp.ndarray, scale: float, shift: float) -> jnp.ndarray:
     """Fused ``scale * propagate(adj, x) + shift``.
 

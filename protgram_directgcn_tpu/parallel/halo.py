@@ -25,6 +25,7 @@ the range offset.
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -292,5 +293,213 @@ def build_halo_adjacency(
     return HaloAdj(
         fwd=build_halo_partition(src, tgt, w, num_nodes, num_shards, debug_checksums),
         bwd=build_halo_partition(tgt, src, w, num_nodes, num_shards, debug_checksums),
+        axis=axis,
+    )
+
+
+# ----------------------------------------------------------------------------
+# Batched tri-matrix exchange: one collective serves all three propagation
+# operators of a DirectGCN layer.
+# ----------------------------------------------------------------------------
+
+
+@struct.dataclass
+class TriHaloPartition:
+    """Three per-matrix halo ELL tables over ONE shared exchange.
+
+    The three DirectGCN operators (𝒜_in, 𝒜_out, undirected) have
+    near-identical sparsity patterns (all contained in the symmetric closure
+    of the same edge set, reference: graph_utils.py:198-287), so their
+    per-peer recv sets almost coincide.  Sharing the union recv set turns
+    the 3 fwd all_to_alls per layer into ONE [S_u, 3F] exchange — the same
+    bytes, a third of the collective launches and padding waste (the
+    latency term that dominates weak-scaling at small per-shard work)."""
+
+    parts: Tuple[HaloPartition, HaloPartition, HaloPartition]  # share send_idx
+    send_idx: jnp.ndarray  # [D, D, S_u] int32 (the shared union send set)
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.parts[0].rows_per_shard
+
+
+def build_tri_halo_partition(
+    coos, num_nodes: int, num_shards: int, debug_checksums: bool = False
+) -> TriHaloPartition:
+    """``coos``: three (src, tgt, w) triples.  Builds per-matrix partitions
+    whose halo indices all point into the SHARED union receive buffer."""
+    nd = -(-num_nodes // num_shards)
+    d_count = num_shards
+
+    # Union recv sets across the three matrices, per (device, peer).
+    union_sets = [[np.empty(0, np.int64)] * d_count for _ in range(d_count)]
+    per_matrix = []
+    for src, tgt, w in coos:
+        src = np.asarray(src, np.int64)
+        tgt = np.asarray(tgt, np.int64)
+        w = np.asarray(w, np.float32)
+        owner_t = np.minimum(tgt // nd, d_count - 1)
+        owner_s = np.minimum(src // nd, d_count - 1)
+        per_matrix.append((src, tgt, w, owner_t, owner_s))
+        for dd in range(d_count):
+            mask_d = owner_t == dd
+            remote = owner_s[mask_d] != dd
+            g_src = src[mask_d][remote]
+            peers = owner_s[mask_d][remote]
+            for p in range(d_count):
+                sel = peers == p
+                if sel.any():
+                    union_sets[dd][p] = np.union1d(union_sets[dd][p], g_src[sel])
+
+    s_max = max(
+        1, max(len(union_sets[dd][p]) for dd in range(d_count) for p in range(d_count))
+    )
+    send_idx = np.zeros((d_count, d_count, s_max), np.int32)
+    for dd in range(d_count):
+        for p in range(d_count):
+            need = union_sets[p][dd]  # global ids owned by dd, needed by p
+            send_idx[dd, p, : len(need)] = (need - dd * nd).astype(np.int32)
+
+    from protgram_directgcn_tpu.ops.spmm import _ell_one_sided
+
+    parts = []
+    for src, tgt, w, owner_t, owner_s in per_matrix:
+        l_idx, l_w, h_idx, h_w = [], [], [], []
+        for dd in range(d_count):
+            mask_d = owner_t == dd
+            is_local = owner_s[mask_d] == dd
+            lr = tgt[mask_d][is_local] - dd * nd
+            ls = src[mask_d][is_local] - dd * nd
+            lw = w[mask_d][is_local]
+            hr = tgt[mask_d][~is_local] - dd * nd
+            hp = owner_s[mask_d][~is_local]
+            hg = src[mask_d][~is_local]
+            hw = w[mask_d][~is_local]
+            buf = np.zeros(len(hg), np.int64)
+            for p in range(d_count):
+                sel = hp == p
+                if sel.any():
+                    pos = np.searchsorted(union_sets[dd][p], hg[sel])
+                    buf[sel] = p * s_max + pos
+            li, lwm = _ell_one_sided(ls, lr, lw, nd)
+            hi, hwm = _ell_one_sided(buf, hr, hw, nd)
+            l_idx.append(li)
+            l_w.append(lwm)
+            h_idx.append(hi)
+            h_w.append(hwm)
+
+        def stack_pad(mats):
+            k = max(m.shape[1] for m in mats)
+            return np.stack([np.pad(m, ((0, 0), (0, k - m.shape[1]))) for m in mats])
+
+        parts.append(
+            HaloPartition(
+                local_idx=jnp.asarray(stack_pad(l_idx).astype(np.int32)),
+                local_w=jnp.asarray(stack_pad(l_w).astype(np.float32)),
+                halo_idx=jnp.asarray(stack_pad(h_idx).astype(np.int32)),
+                halo_w=jnp.asarray(stack_pad(h_w).astype(np.float32)),
+                send_idx=jnp.asarray(send_idx),
+                num_nodes=int(num_nodes),
+                rows_per_shard=int(nd),
+                debug_checksums=bool(debug_checksums),
+            )
+        )
+    return TriHaloPartition(parts=tuple(parts), send_idx=jnp.asarray(send_idx))
+
+
+def tri_halo_propagate(tri: TriHaloPartition, xs, mesh: Mesh, axis: str = "nodes"):
+    """One exchange, three propagations.  ``xs``: three [N, F] arrays (the
+    three per-path projections of a DirectGCN layer); returns three [N, F]
+    aggregates."""
+    d = mesh.shape[axis]
+    f = xs[0].shape[1]
+    p0, p1, p2 = tri.parts
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None, None),  # shared send_idx
+            tuple(P(axis, None, None) for _ in range(12)),  # 3x local/halo idx/w
+            tuple(P(axis, None) for _ in range(3)),  # xs
+        ),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None)),
+    )
+    def _run(send_idx, tables, xs_local):
+        send_idx = send_idx[0]  # [D, S_u]
+        tables = [t[0] for t in tables]
+        xs_local = list(xs_local)
+        s_u = send_idx.shape[1]
+        # 1. One exchange: concat the three projections' rows -> [D, S_u, 3F].
+        cat = jnp.concatenate(xs_local, axis=1)  # [Nd, 3F]
+        send_buf = jnp.take(cat, send_idx.reshape(-1), axis=0).reshape(d, s_u, 3 * f)
+        recv = jax.lax.all_to_all(send_buf, axis, split_axis=0, concat_axis=0, tiled=False)
+        recv_flat = recv.reshape(d * s_u, 3 * f)
+        # 2. Local aggregation for all three (overlaps the collective).
+        outs = []
+        for m in range(3):
+            l_idx, l_w, h_idx, h_w = tables[4 * m : 4 * m + 4]
+            out = _ell_block(l_idx, l_w, xs_local[m])
+            out = out + _ell_block(h_idx, h_w, recv_flat[:, m * f : (m + 1) * f])
+            outs.append(out)
+        return tuple(outs)
+
+    tables = tuple(
+        t
+        for p in (p0, p1, p2)
+        for t in (p.local_idx, p.local_w, p.halo_idx, p.halo_w)
+    )
+    return _run(tri.send_idx, tables, tuple(xs))
+
+
+@struct.dataclass
+class TriHaloAdj:
+    """Layer-level distributed operator: all three propagation matrices with
+    a shared fwd/bwd exchange.  Consumed by the DirectGCN fused layer via
+    ``ops.spmm.propagate3``."""
+
+    fwd: TriHaloPartition
+    bwd: TriHaloPartition  # transpose orientation
+    axis: str = struct.field(pytree_node=False, default="nodes")
+
+
+@jax.custom_vjp
+def _tri_propagate_cv(fwd: TriHaloPartition, bwd: TriHaloPartition, x0, x1, x2):
+    return tri_halo_propagate(fwd, (x0, x1, x2), current_mesh())
+
+
+def _tri_cv_fwd(fwd, bwd, x0, x1, x2):
+    return tri_halo_propagate(fwd, (x0, x1, x2), current_mesh()), (fwd, bwd)
+
+
+def _tri_cv_bwd(res, gs):
+    fwd, bwd = res
+    dxs = tri_halo_propagate(bwd, gs, current_mesh())
+    zero_part = lambda p: jax.tree_util.tree_map(  # noqa: E731
+        lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+        if jnp.issubdtype(a.dtype, jnp.integer)
+        else jnp.zeros_like(a),
+        p,
+    )
+    return (zero_part(fwd), zero_part(bwd)) + tuple(dxs)
+
+
+_tri_propagate_cv.defvjp(_tri_cv_fwd, _tri_cv_bwd)
+
+
+def propagate_tri(adj: TriHaloAdj, x_in, x_out, x_und):
+    return _tri_propagate_cv(adj.fwd, adj.bwd, x_in, x_out, x_und)
+
+
+def build_tri_halo_adjacency(
+    coos, num_nodes: int, num_shards: int, axis: str = "nodes",
+    debug_checksums: bool = False,
+) -> TriHaloAdj:
+    """``coos``: three (src, tgt, w) triples for (𝒜_in, 𝒜_out, undirected)."""
+    return TriHaloAdj(
+        fwd=build_tri_halo_partition(coos, num_nodes, num_shards, debug_checksums),
+        bwd=build_tri_halo_partition(
+            [(t, s, w) for s, t, w in coos], num_nodes, num_shards, debug_checksums
+        ),
         axis=axis,
     )

@@ -155,19 +155,31 @@ def build_distributed_device_graph(
     `parallel.halo.active_mesh(mesh)`.  ``debug_checksums`` asserts per-peer
     checksums on every exchanged boundary buffer (SURVEY §5.2)."""
     from protgram_directgcn_tpu.graph.transforms import csr_to_coo_arrays
-    from protgram_directgcn_tpu.parallel.halo import build_halo_adjacency
+    from protgram_directgcn_tpu.parallel.halo import (
+        build_halo_adjacency,
+        build_tri_halo_adjacency,
+    )
 
-    def halo_from(m):
-        s, t, v = csr_to_coo_arrays(m)
+    coos = [
+        csr_to_coo_arrays(m)
+        for m in (graph.mathcal_a_in(), graph.mathcal_a_out(), graph.undirected_norm())
+    ]
+
+    def halo_from(coo):
         return build_halo_adjacency(
-            s, t, v, graph.num_nodes, num_shards, debug_checksums=debug_checksums
+            *coo, graph.num_nodes, num_shards, debug_checksums=debug_checksums
         )
 
     return DeviceGraph(
-        p_in=halo_from(graph.mathcal_a_in()),
-        p_out=halo_from(graph.mathcal_a_out()),
-        p_und=halo_from(graph.undirected_norm()),
+        p_in=halo_from(coos[0]),
+        p_out=halo_from(coos[1]),
+        p_und=halo_from(coos[2]),
         num_nodes=graph.num_nodes,
+        # Layer-level fused operator: one halo exchange serves all three
+        # matrices per layer (ops.spmm.propagate3 dispatches to it).
+        tri=build_tri_halo_adjacency(
+            coos, graph.num_nodes, num_shards, debug_checksums=debug_checksums
+        ),
     )
 
 

@@ -114,7 +114,12 @@ def _loss_fn(params, graph, x, y, mask, weight_factor, rng, model_cfg, l2_lambda
     per_node = -jnp.take_along_axis(log_sm, y[:, None], axis=1)[:, 0]
     denom = jnp.maximum(mask.sum(), 1.0)
     primary = jnp.sum(per_node * mask) / denom
-    l2 = sum(jnp.sum(jnp.square(p)) for p in jax.tree_util.tree_leaves(params))
+    # Accumulate L2 in f32 (bf16 node-param storage would otherwise lose the
+    # sum over millions of per-node entries).
+    l2 = sum(
+        jnp.sum(jnp.square(p.astype(jnp.float32)))
+        for p in jax.tree_util.tree_leaves(params)
+    )
     return primary * weight_factor + l2_lambda * l2, primary
 
 
@@ -445,6 +450,7 @@ class HierarchicalTrainer:
             use_vector_coeffs=gcn.use_vector_coeffs,
             use_pallas=use_pallas,
             compute_dtype=gcn.compute_dtype,
+            node_param_dtype=gcn.node_param_dtype,
             remat=gcn.remat,
         )
         params = init_directgcn_params(jax.random.PRNGKey(self.config.random_state + n_val), model_cfg)
@@ -522,7 +528,11 @@ class HierarchicalTrainer:
             logger.info("clustered training: %d epochs over %d clusters in %.1fs",
                         epochs_run, len(batches), time.monotonic() - t0)
         else:
-            x = jnp.asarray(pad_nodes(x_np))
+            # bf16 feature storage under bf16 compute: the model casts before
+            # every matmul anyway, and the [N, F] input is ~2 GB f32 at
+            # 5-gram hypercube scale.
+            x_dtype = jnp.bfloat16 if gcn.compute_dtype == "bfloat16" else jnp.float32
+            x = jnp.asarray(pad_nodes(x_np), dtype=x_dtype)
             y = jnp.asarray(pad_nodes(y_np.astype(np.int32)))
             mask = jnp.asarray(pad_nodes(np.ones(graph.num_nodes, dtype=np.float32)))
             if distributed:

@@ -226,10 +226,12 @@ def test_cluster_streaming_at_100k_nodes(tmp_path):
     )
     trainer = HierarchicalTrainer(cfg)
     g = _synthetic_bounded_graph(100_000, deg=4)
-    from protgram_directgcn_tpu.pipeline.labels import generate_labels
-
     x = np.random.default_rng(0).standard_normal((g.num_nodes, 8)).astype(np.float32)
-    y, nc = generate_labels(g, "next_node", seed=0)
+    # Few-class labels: next_node on a 100k-node graph would make every node
+    # id a class (a [budget, 100k] decoder per step — the production config
+    # uses community labels at this scale, config.py default_task_type).
+    y = (np.arange(g.num_nodes) % 64).astype(np.int32)
+    nc = 64
     batches, resident = trainer._make_cluster_batches(g, x, y, seed=0)
     assert not resident  # streamed: device holds one batch at a time
     from protgram_directgcn_tpu.ops.spmm import EllAdj
