@@ -265,9 +265,13 @@ class ParallelConfig:
     mesh_nodes: Optional[int] = None
     mesh_feats: int = 1
     # Distributed propagation strategy:
+    #   "hypercube" — the gather-free hypercube format sharded along its
+    #             key axis: kernels stay local, the two relayouts become
+    #             regular all-to-alls (parallel/hyper_shard.py); falls back
+    #             to "halo" per level when the format doesn't apply;
     #   "halo"  — explicit edge-partitioned halo exchange (shard_map
-    #             all_to_all overlapped with local aggregation; the BASELINE
-    #             north-star path, parallel/halo.py);
+    #             all_to_all overlapped with local aggregation,
+    #             parallel/halo.py) with the batched tri-matrix exchange;
     #   "gspmd" — row-sharded adjacency + GSPMD-inserted collectives
     #             (parallel/mesh.py shard_device_graph).
     mode: str = "halo"

@@ -276,9 +276,11 @@ def directgcn_apply(
     rg_lead = None
     if original_indices is None and h.ndim == 2:
         from protgram_directgcn_tpu.ops.hypercube import HypercubeAdj
+        from protgram_directgcn_tpu.parallel.hyper_shard import HyperShardAdj
 
         mats = (graph.p_in, graph.p_out, graph.p_und)
-        if all(isinstance(m, HypercubeAdj) for m in mats) and h.shape[0] == mats[0].n_out:
+        rg_types = (HypercubeAdj, HyperShardAdj)
+        if all(isinstance(m, rg_types) for m in mats) and h.shape[0] == mats[0].n_out:
             rg_lead = mats[0].feature_shape
             h = h.reshape(rg_lead + h.shape[-1:])
     n_layers = len(params["layers"])

@@ -493,11 +493,15 @@ def propagate(adj: Adjacency, x: jnp.ndarray, use_pallas: bool = False) -> jnp.n
 
     if isinstance(adj, _hyper.HypercubeAdj):
         return _hyper.propagate_hyper(adj, x)
-    # Distributed halo adjacency (imported lazily to avoid a cycle).
+    # Distributed adjacencies (imported lazily to avoid a cycle).
     from protgram_directgcn_tpu.parallel import halo as _halo
 
     if isinstance(adj, _halo.HaloAdj):
         return _halo.propagate_halo(adj, x)
+    from protgram_directgcn_tpu.parallel import hyper_shard as _hs
+
+    if isinstance(adj, _hs.HyperShardAdj):
+        return _hs.propagate_hyper_shard(adj, x)
     raise TypeError(f"Unknown adjacency type: {type(adj)}")
 
 
@@ -532,4 +536,8 @@ def propagate_affine(adj: Adjacency, x: jnp.ndarray, scale: float, shift: float)
 
     if isinstance(adj, _hyper.HypercubeAdj):
         return _hyper.propagate_hyper_affine(adj, x, scale, shift)
+    from protgram_directgcn_tpu.parallel import hyper_shard as _hs
+
+    if isinstance(adj, _hs.HyperShardAdj):
+        return _hs.propagate_hyper_shard(adj, x, scale, shift)
     return propagate(adj, x) * scale + shift

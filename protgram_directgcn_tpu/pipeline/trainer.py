@@ -245,6 +245,45 @@ class HierarchicalTrainer:
             mode="auto" if mode == "hypercube" else mode, feat_dim=feat_dim, dtype=dtype
         )
 
+    def _to_hyper_shard_graph(self, graph: NgramGraph, node_shards: int) -> Optional[DeviceGraph]:
+        """Build the three operators in the G-sharded hypercube format
+        (parallel/hyper_shard.py); None when the level doesn't fit the
+        format (too-sparse hypercube or off-pattern edges)."""
+        from protgram_directgcn_tpu.graph.transforms import csr_to_coo_arrays
+        from protgram_directgcn_tpu.ops.block import BlockStructureError
+        from protgram_directgcn_tpu.ops.hypercube import vocab_char_codes
+        from protgram_directgcn_tpu.parallel.hyper_shard import (
+            build_hyper_shard,
+            build_hyper_shard_tables,
+        )
+
+        codes, alpha = vocab_char_codes(graph.vocab)
+        n_hyper = alpha**graph.n
+        if not (0 < n_hyper <= _HYPERCUBE_MAX_RATIO * max(graph.num_nodes, 1)):
+            return None
+        dtype = jnp.bfloat16 if self.gcn.compute_dtype == "bfloat16" else jnp.float32
+        try:
+            tables = build_hyper_shard_tables(alpha, alpha ** (graph.n - 1), node_shards)
+
+            def mk(m):
+                s, t, v = csr_to_coo_arrays(m)
+                return build_hyper_shard(
+                    s, t, v, codes, alpha, node_shards,
+                    weights_dtype=dtype, tables=tables,
+                )
+
+            p_in = mk(graph.mathcal_a_in())
+            return DeviceGraph(
+                p_in=p_in,
+                p_out=mk(graph.mathcal_a_out()),
+                p_und=mk(graph.undirected_norm()),
+                num_nodes=p_in.n_out,
+                node_map=p_in.node_map,
+            )
+        except BlockStructureError as exc:
+            logger.info("hypercube sharding refused: %s", exc)
+            return None
+
     def _make_cluster_batches(
         self,
         graph: NgramGraph,
@@ -401,11 +440,23 @@ class HierarchicalTrainer:
 
             mesh = make_mesh(mesh_devices, feat_axis=max(int(par.mesh_feats), 1))
             node_shards = mesh.shape["nodes"]
-            if par.mode == "halo":
+            mode_n = par.mode
+            if mode_n == "hypercube" and graph.n < 2:
+                logger.info("1-gram level has no key structure; using halo mode")
+                mode_n = "halo"
+            if mode_n == "hypercube":
+                # North-star path: the gather-free hypercube format sharded
+                # along its key axis — both kernels stay local, the two
+                # relayouts become regular all-to-alls (parallel/hyper_shard).
+                full_graph = self._to_hyper_shard_graph(graph, node_shards)
+                if full_graph is None:
+                    logger.info("hypercube sharding unavailable; using halo mode")
+                    mode_n = "halo"
+            if mode_n == "halo":
                 full_graph = build_distributed_device_graph(
                     graph, node_shards, debug_checksums=par.debug_checksums
                 )
-            elif par.mode == "gspmd":
+            elif mode_n == "gspmd":
                 # Row-alignable format required (the hypercube node space
                 # does not block-partition by node id); ELL covers every
                 # level.
@@ -414,13 +465,13 @@ class HierarchicalTrainer:
                     graph.to_device(mode="ell", feat_dim=max(layer_dims), dtype=dtype),
                     mesh,
                 )
-            else:
+            elif mode_n != "hypercube":
                 raise ValueError(f"unknown parallel.mode: {par.mode!r}")
-            node_map = None
+            node_map = None if full_graph.node_map is None else np.asarray(full_graph.node_map)
             total_nodes = full_graph.p_in.n_out  # shard-padded node space
             logger.info(
                 "distributed level n=%d: mesh=%s mode=%s (%d nodes padded to %d)",
-                n_val, dict(mesh.shape), par.mode, graph.num_nodes, total_nodes,
+                n_val, dict(mesh.shape), mode_n, graph.num_nodes, total_nodes,
             )
         else:
             full_graph = self._to_device_graph(graph, max(layer_dims))
