@@ -223,6 +223,10 @@ class EvalConfig:
     epochs: int = 300
     learning_rate: float = 1e-3
     k_values_for_table: List[int] = field(default_factory=lambda: [50, 100])
+    # Edge-feature matrices larger than this stream per batch from the
+    # vector store instead of materialising (reference generator pipeline,
+    # ppi_main.py:147-150).
+    max_in_memory_feature_bytes: int = 2 << 30
     main_embedding_for_stats: str = "ProtGramDirectGCN"
     statistical_test_alpha: float = 0.05
     plot_training_history: bool = True

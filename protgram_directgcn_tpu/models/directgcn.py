@@ -291,8 +291,12 @@ def directgcn_apply(
 
     ct = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
-    def layer_block(layer_p, rp, hh, drop_key):
-        gcn_out = _layer_apply(layer_p, graph, hh, cfg, original_indices)
+    # ``graph`` is an explicit argument (not a closure) of the checkpointed
+    # block: closed-over constants get COPIED into the rematerialized
+    # computation by XLA (a ~1 GB copy PER BANK per layer at 5-gram scale),
+    # while explicit inputs are referenced in place.
+    def layer_block(layer_p, rp, gg, hh, drop_key):
+        gcn_out = _layer_apply(layer_p, gg, hh, cfg, original_indices)
         res_out = hh if rp is None else hh @ rp["w"] + rp["b"]
         out = jax.nn.leaky_relu(gcn_out + res_out, negative_slope=cfg.leaky_relu_slope)
         # Dropout INSIDE the (possibly remat'd) block: the bernoulli mask is
@@ -312,7 +316,7 @@ def directgcn_apply(
         layer_block = jax.checkpoint(layer_block, static_argnums=())
 
     for i in range(n_layers):
-        h = layer_block(params["layers"][i], params["res_projs"][i], h, drop_keys[i])
+        h = layer_block(params["layers"][i], params["res_projs"][i], graph, h, drop_keys[i])
 
     dec = params["decoder"]
     z = jax.nn.relu(h @ dec["w1"] + dec["b1"])

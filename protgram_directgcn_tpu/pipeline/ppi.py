@@ -156,12 +156,45 @@ class PPIPipeline:
             return None
         dim = next(iter(vectors.values())).shape[0]
         feat_dim = dim * 2 if ev.edge_embedding_method == "concatenate" else dim
+        labels = np.fromiter((y for _, _, y in usable), dtype=np.int32, count=len(usable))
 
-        feats = np.zeros((len(usable), feat_dim), dtype=np.float16)
-        labels = np.zeros(len(usable), dtype=np.int32)
-        for i, (a, b, y) in enumerate(usable):
-            feats[i] = emb_utils.make_edge_feature(vectors[a], vectors[b], ev.edge_embedding_method)
-            labels[i] = y
+        # In-memory edge features up to a budget; beyond it, features are
+        # built per batch from the vector store (the reference's generator
+        # pipeline, reference: ppi_main.py:147-150).
+        streaming = len(usable) * feat_dim * 2 > ev.max_in_memory_feature_bytes
+        if streaming:
+            logger.info(
+                "[%s] streaming edge features (%d pairs x %d dims exceeds the "
+                "%.1f GB in-memory budget)", name, len(usable), feat_dim,
+                ev.max_in_memory_feature_bytes / 1e9,
+            )
+            feats = None
+        else:
+            feats = np.zeros((len(usable), feat_dim), dtype=np.float16)
+            for i, (a, b, _) in enumerate(usable):
+                feats[i] = emb_utils.make_edge_feature(
+                    vectors[a], vectors[b], ev.edge_embedding_method
+                )
+
+        def batches_for(indices, shuffle_rng=None):
+            idx = np.asarray(indices)
+            if shuffle_rng is not None:
+                idx = shuffle_rng.permutation(idx)
+            if feats is not None:
+                for i in range(0, len(idx), ev.batch_size):
+                    sel = idx[i : i + ev.batch_size]
+                    yield feats[sel], labels[sel].astype(np.float32)
+            else:
+                pair_sel = [usable[i] for i in idx]
+                yield from emb_utils.generate_edge_features_batched(
+                    pair_sel, vectors, ev.edge_embedding_method, ev.batch_size, dim
+                )
+
+        def features_of(indices):
+            if feats is not None:
+                return feats[indices]
+            chunks = [b for b, _ in batches_for(indices)]
+            return np.concatenate(chunks, axis=0) if chunks else np.zeros((0, feat_dim), np.float16)
 
         folds = _stratified_kfold_indices(labels, ev.n_folds, cfg.random_state)
         fold_metrics: List[Dict[str, float]] = []
@@ -191,14 +224,13 @@ class PPIPipeline:
             # plotted like the reference's per-fold Keras history plots
             # (reference: results_utils.py:97-141, called from the CV loop).
             history: Dict[str, List[float]] = {"loss": [], "val_accuracy": []}
+            test_feats = features_of(te)
             for _ in range(ev.epochs):
-                loss = trainer.fit_epoch(
-                    _batched(feats[tr], y_tr.astype(np.float32), ev.batch_size, rng), cw
-                )
+                loss = trainer.fit_epoch(batches_for(tr, shuffle_rng=rng), cw)
                 history["loss"].append(float(loss))
                 if ev.plot_training_history:
                     val_acc = float(
-                        ((trainer.predict_proba(feats[te]) >= 0.5) == labels[te]).mean()
+                        ((trainer.predict_proba(test_feats) >= 0.5) == labels[te]).mean()
                     )
                     history["val_accuracy"].append(val_acc)
                 if loss < best - 1e-6:
@@ -207,7 +239,7 @@ class PPIPipeline:
                     patience += 1
                     if patience >= ev.early_stopping_patience:
                         break
-            proba = trainer.predict_proba(feats[te])
+            proba = trainer.predict_proba(test_feats)
             m = binary_classification_metrics(labels[te], proba)
             m.update(ranking_metrics(labels[te], proba, ev.k_values_for_table))
             fold_metrics.append(m)

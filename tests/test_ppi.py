@@ -93,3 +93,17 @@ def test_sanity_check_missing_files(tmp_path):
     cfg.paths.interactions_positive = tmp_path / "nope_pos.csv"
     cfg.paths.interactions_negative = tmp_path / "nope_neg.csv"
     assert run_sanity_check_ppi(cfg, h5) is None
+
+
+def test_ppi_streaming_feature_path(tmp_path):
+    """Forcing the in-memory budget to zero routes edge features through the
+    streaming generator (reference: ppi_main.py:147-150) with identical
+    metrics to the dense path (same seeds)."""
+    dense_cfg = _dummy_cfg(tmp_path)
+    r_dense = PPIPipeline(dense_cfg).run(use_dummy_data=True, output_dir=tmp_path / "d")
+    stream_cfg = _dummy_cfg(tmp_path)
+    stream_cfg.eval.max_in_memory_feature_bytes = 1  # force streaming
+    r_stream = PPIPipeline(stream_cfg).run(use_dummy_data=True, output_dir=tmp_path / "s")
+    assert len(r_dense) == len(r_stream) == 1
+    assert abs(r_dense[0]["test_auc"] - r_stream[0]["test_auc"]) < 0.15
+    assert r_stream[0]["n_folds"] == 2
