@@ -83,6 +83,86 @@ def _ngram_pattern_graph(n: int, deg: int, seed: int, alpha: int = 16):
     )
 
 
+def hyper_shard_scaling_report(
+    keys_per_shard: int = 512,
+    alpha: int = 12,
+    feat_dim: int = 64,
+    shard_counts: Optional[List[int]] = None,
+    iters: int = 10,
+    seed: int = 0,
+) -> List[ScalingPoint]:
+    """Weak scaling of the G-sharded hypercube propagation
+    (parallel/hyper_shard.py): per shard, ``keys_per_shard`` suffix keys of
+    an [alpha x G] hypercube (nodes = alpha * G, edges ~ alpha^2 * G)."""
+    import jax.numpy as jnp
+
+    from protgram_directgcn_tpu.parallel.halo import active_mesh
+    from protgram_directgcn_tpu.parallel.hyper_shard import (
+        HyperShardAdj,
+        HyperShardTables,
+        build_hyper_shard_tables,
+        propagate_hyper_shard,
+    )
+    from jax.sharding import NamedSharding
+
+    max_dev = len(jax.devices())
+    if shard_counts is None:
+        shard_counts = [d for d in (1, 2, 4, 8, 16) if d <= max_dev]
+    rng = np.random.default_rng(seed)
+    points: List[ScalingPoint] = []
+    base_rate_per_shard = None
+    base_rate = None
+    for d in shard_counts:
+        g = keys_per_shard * d
+        gd = keys_per_shard
+        n = alpha * g
+        # Dense per-key [A x A] blocks (the format's native density).
+        wf = jnp.asarray(rng.standard_normal((d, alpha, gd, alpha)).astype(np.float32) * 0.05)
+        wb = jnp.asarray(rng.standard_normal((d, alpha, gd, alpha)).astype(np.float32) * 0.05)
+        diag = jnp.asarray(rng.standard_normal((d, alpha, gd)).astype(np.float32) * 0.1)
+        tables = build_hyper_shard_tables(alpha, g, d)
+        adj = HyperShardAdj(d=diag, wf=wf, wb=wb, tables=tables,
+                            node_map=jnp.arange(n, dtype=jnp.int32))
+        nnz = 2 * alpha * alpha * g + n  # both banks dense + diagonal
+        mesh = make_mesh(d, feat_axis=1)
+        x = jnp.asarray(rng.standard_normal((alpha, g, feat_dim)).astype(np.float32))
+        x = jax.device_put(x, NamedSharding(mesh, P(None, "nodes", None)))
+        with active_mesh(mesh):
+            fn = jax.jit(lambda xv: propagate_hyper_shard(adj, xv))
+
+            def run_chain(x0, k):
+                out = x0
+                for _ in range(k):
+                    out = fn(out)
+                return float(np.asarray(jax.device_get(out[:1, :1, :1])))
+
+            run_chain(x, 1)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_chain(x, iters)
+                best = min(best, (time.perf_counter() - t0) / iters)
+        rate = nnz / best
+        if base_rate_per_shard is None:
+            base_rate_per_shard = rate / d
+            base_rate = rate
+        points.append(
+            ScalingPoint(
+                shards=d, num_nodes=n, nnz=nnz, seconds_per_step=best,
+                edges_per_s=rate,
+                efficiency=(rate / d) / base_rate_per_shard,
+                aggregate_retention=rate / base_rate,
+            )
+        )
+        logger.info(
+            "hyper-shard weak scaling D=%d: %d nodes, %d edge-equivs, %.3fms/step, "
+            "%.2fM edges/s, eff=%.2f retention=%.2f",
+            d, n, nnz, best * 1e3, rate / 1e6,
+            points[-1].efficiency, points[-1].aggregate_retention,
+        )
+    return points
+
+
 def weak_scaling_report(
     nodes_per_shard: int = 4096,
     deg: int = 16,
