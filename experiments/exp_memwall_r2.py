@@ -106,8 +106,11 @@ def main():
     )
     log(f"B: params {param_bytes / 1e9:.2f} GB (node_param_dtype=bf16)")
 
-    # bf16 features, matching the trainer's bf16-compute storage.
-    x = jax.random.normal(jax.random.PRNGKey(2), (nh, 128), jnp.float32).astype(jnp.bfloat16)
+    # bf16 features in the kernel-native rg layout (a flat input would cost
+    # a materialised ~1 GB relayout copy inside every step).
+    x = jax.random.normal(
+        jax.random.PRNGKey(2), (a_dim, g_dim, 128), jnp.float32
+    ).astype(jnp.bfloat16)
     y = jnp.zeros((nh,), jnp.int32)
     mask = jnp.ones((nh,), jnp.float32)
 

@@ -274,7 +274,13 @@ def directgcn_apply(
     # propagations per layer never pay a flat<->rg relayout on TPU.  The
     # external [N, ·] contract is restored at the exit.
     rg_lead = None
-    if original_indices is None and h.ndim == 2:
+    if original_indices is None and h.ndim == 3:
+        # Caller already supplies the kernel-native rg layout [A, G, F] —
+        # preferred at scale: the flat->rg reshape below otherwise
+        # materialises a full copy of the features inside every step
+        # (~1 GB at 5-gram scale, see experiments/exp_memwall_r2.py).
+        rg_lead = h.shape[:2]
+    elif original_indices is None and h.ndim == 2:
         from protgram_directgcn_tpu.ops.hypercube import HypercubeAdj
         from protgram_directgcn_tpu.parallel.hyper_shard import HyperShardAdj
 

@@ -584,12 +584,23 @@ class HierarchicalTrainer:
             # 5-gram hypercube scale.
             x_dtype = jnp.bfloat16 if gcn.compute_dtype == "bfloat16" else jnp.float32
             x = jnp.asarray(pad_nodes(x_np), dtype=x_dtype)
+            # Hand rg-family formats their native [A, G, F] layout up front —
+            # a flat input costs a materialised 1-per-step relayout copy.
+            fshape = getattr(full_graph.p_in, "feature_shape", None)
+            if fshape is not None and x.shape[0] == fshape[0] * fshape[1]:
+                x = x.reshape(fshape + x.shape[1:])
             y = jnp.asarray(pad_nodes(y_np.astype(np.int32)))
             mask = jnp.asarray(pad_nodes(np.ones(graph.num_nodes, dtype=np.float32)))
             if distributed:
                 from protgram_directgcn_tpu.parallel.mesh import shard_training_inputs
 
-                x, y, mask = shard_training_inputs(mesh, x, y, mask)
+                if x.ndim == 3:  # rg layout: the key axis is the sharded one
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    x = jax.device_put(x, NamedSharding(mesh, P(None, "nodes", None)))
+                    _, y, mask = shard_training_inputs(mesh, None, y, mask)
+                else:
+                    x, y, mask = shard_training_inputs(mesh, x, y, mask)
             start_epoch = 1
             if ckpt_dir is not None and gcn.checkpoint_every_epochs > 0:
                 from protgram_directgcn_tpu.utils import checkpoint as ckpt
