@@ -57,10 +57,15 @@ def main():
 
     # Three operators from the same matrix (memory- and layout-identical to
     # the real p_in/p_out/p_und triple; values don't matter for OOM/timing).
+    # pk banks: what the trainer's residency-aware budget picks for this
+    # config (params 2.5G + Adam moments 5G + remat saves ~6G leave < 2 GB
+    # for banks; r-major banks are 6x1 GB lane-padded AND get copied by XLA
+    # at the Pallas call sites inside the remat transpose — the measured
+    # 24.6 GB OOM of the rs variant of this experiment).
     def hyper():
         return build_hypercube(
             src, tgt, val, np.asarray(codes, np.int64), int(alpha),
-            weights_dtype=jnp.bfloat16, bank_layouts="rs", max_block_bytes=4 << 30,
+            weights_dtype=jnp.bfloat16, bank_layouts="pk", max_block_bytes=4 << 30,
         )
 
     t0 = time.perf_counter()
@@ -68,27 +73,50 @@ def main():
     dg = DeviceGraph(p_in=p_in, p_out=p_out, p_und=p_und,
                      num_nodes=p_in.n_out, node_map=p_in.node_map)
     jax.block_until_ready(jax.tree_util.tree_leaves(dg))
-    log(f"3x rs-bank hypercube ops built ({time.perf_counter() - t0:.1f}s)")
+    log(f"3x pk-bank hypercube ops built ({time.perf_counter() - t0:.1f}s)")
     nh = dg.num_nodes
     a_dim, g_dim = p_in.d.shape
 
-    # --- A: f=64 padded-kernel correctness vs einsum ---------------------
+    # --- A: f=64 correctness — rs Pallas padded kernel vs rs einsum vs the
+    # pk einsum path phase B trains through (one temporary rs operator).
+    # SKIP_A=1 skips it when iterating on phase B (last full run: both
+    # comparisons rel err 0.000e+00).
+    if os.environ.get("SKIP_A") == "1":
+        return _phase_b(jax, jnp, dg, nh, a_dim, g_dim)
+    rs_op = build_hypercube(
+        src, tgt, val, np.asarray(codes, np.int64), int(alpha),
+        weights_dtype=jnp.bfloat16, bank_layouts="rs", max_block_bytes=4 << 30,
+    )
     x64 = jax.random.normal(jax.random.PRNGKey(0), (a_dim, g_dim, 64)).astype(jnp.bfloat16)
 
     @jax.jit
     def prop64(adj, x):
         return spmm.propagate(adj, x)
 
-    got = np.asarray(prop64(p_in, x64)[:, :256].astype(jnp.float32), np.float64)
+    got = np.asarray(prop64(rs_op, x64)[:, :256].astype(jnp.float32), np.float64)
     os.environ["PROTGRAM_HYPER_PALLAS"] = "off"
     want = np.asarray(
-        jax.jit(lambda adj, x: spmm.propagate(adj, x))(p_in, x64)[:, :256].astype(jnp.float32),
+        jax.jit(lambda adj, x: spmm.propagate(adj, x))(rs_op, x64)[:, :256].astype(jnp.float32),
         np.float64,
     )
     os.environ["PROTGRAM_HYPER_PALLAS"] = "auto"
     err = np.abs(got - want).max() / max(1e-9, np.abs(want).max())
     log(f"A: f=64 padded kernel vs einsum rel err {err:.3e}")
     assert err < 2e-2, err
+    del rs_op
+    got_pk = np.asarray(prop64(p_in, x64)[:, :256].astype(jnp.float32), np.float64)
+    err = np.abs(got_pk - want).max() / max(1e-9, np.abs(want).max())
+    log(f"A: f=64 pk einsum vs rs einsum rel err {err:.3e}")
+    assert err < 2e-2, err
+    _phase_b(jax, jnp, dg, nh, a_dim, g_dim)
+
+
+def _phase_b(jax, jnp, dg, nh, a_dim, g_dim):
+    from protgram_directgcn_tpu.models.directgcn import (
+        DirectGCNConfig,
+        init_directgcn_params,
+    )
+    from protgram_directgcn_tpu.pipeline.trainer import make_optimizer, make_train_step
 
     # --- B: 4-layer full-batch train step --------------------------------
     layer_dims = (128, 128, 64, 64, 32)
@@ -98,7 +126,10 @@ def main():
         node_param_dtype="bfloat16", remat=True,
     )
     params = init_directgcn_params(jax.random.PRNGKey(1), cfg)
-    opt = make_optimizer(1e-3, 0.0)
+    # Factored second moments for the per-node tables — what the trainer's
+    # node_param_factored="auto" picks at this scale (full Adam moments are
+    # ~5 GB of the 15.75 GB chip).
+    opt = make_optimizer(1e-3, 0.0, factor_node_params_above=nh)
     opt_state = opt.init(params)
     step = make_train_step(cfg, opt, 1e-7)
     param_bytes = sum(

@@ -157,6 +157,12 @@ class GCNConfig:
     # ("bfloat16" halves the dominant parameter memory at 5-gram scale —
     # see models/directgcn.py DirectGCNConfig.node_param_dtype).
     node_param_dtype: str = "float32"
+    # Optimizer for the per-node tables (5 gates + the [N, out] constants):
+    # "auto" keeps torch-parity Adam unless its full moments would overflow
+    # the chip alongside banks + activations (5-gram scale), then switches
+    # those leaves to factored-second-moment Adafactor (state: MBs instead
+    # of GBs); "on"/"off" force either way.
+    node_param_factored: str = "auto"
     # Rematerialise GCN layers on backward (activation memory <-> FLOPs).
     remat: bool = False
     # Sparse format selection: "auto" picks dense vs ELL by a roofline byte

@@ -119,27 +119,34 @@ class NgramGraph:
             )
 
             codes, alpha = vocab_char_codes(self.vocab)
-            # Three matrices share one chip: prefer the fast dual-layout
-            # banks while all three fit a ~16 GB HBM alongside features and
-            # optimizer state, else fall back to the memory-lean r-major-only
-            # banks (slightly slower K1 — see ops/hypercube.py).
+            # Three matrices share one chip; ``hbm_budget`` is what the
+            # caller leaves them (HierarchicalTrainer subtracts its model
+            # residency — params, Adam moments, remat saves — first).
             from protgram_directgcn_tpu.ops.block import BlockStructureError
-            from protgram_directgcn_tpu.ops.hypercube import hypercube_bank_bytes
 
             per_matrix_budget = hbm_budget // 3
 
             def hyper_from(m):
                 s, t, v = transforms.csr_to_coo_arrays(m)
-                try:
-                    return build_hypercube(
-                        s, t, v, codes, alpha, weights_dtype=dtype,
-                        bank_layouts="dual", max_block_bytes=per_matrix_budget,
-                    )
-                except BlockStructureError:
-                    return build_hypercube(
-                        s, t, v, codes, alpha, weights_dtype=dtype,
-                        bank_layouts="rs", max_block_bytes=per_matrix_budget,
-                    )
+                # Fallback chain dual -> rs -> pk by padded-footprint
+                # accounting: dual is fastest (g-major K1 banks), rs drops
+                # the g-major copies (~+4 ms/prop K1), pk packs [A*A, G]
+                # (~6x leaner than rs; einsum compute path) — the layout
+                # that keeps 5-gram training under a 16 GB chip when the
+                # model's own residency (params + Adam moments + remat
+                # saves) crowds out the banks.
+                last_exc = None
+                for layouts in ("dual", "rs", "pk"):
+                    try:
+                        return build_hypercube(
+                            s, t, v, codes, alpha, weights_dtype=dtype,
+                            bank_layouts=layouts, max_block_bytes=per_matrix_budget,
+                        )
+                    except BlockStructureError as exc:
+                        if "padded bytes" not in str(exc):
+                            raise  # structural failure: no layout can help
+                        last_exc = exc
+                raise last_exc
 
             p_in = hyper_from(self.mathcal_a_in())
             return DeviceGraph(

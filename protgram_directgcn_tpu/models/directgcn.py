@@ -190,40 +190,72 @@ def _layer_apply(
     use_pallas = cfg.use_pallas
     ct = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else x.dtype
     if cfg.fused:
-        # One fused MXU matmul for all three paths, then 3 propagations.
-        w_cat = jnp.concatenate(
-            [p["w_main_in"] + p["w_shared"], p["w_main_out"] + p["w_shared"],
-             p["w_und"] + p["w_shared"]], axis=1,
-        )
-        proj = x.astype(ct) @ w_cat.astype(ct)  # [..., 3*out]
-        out_dim = p["w_main_in"].shape[1]
-        x_in, x_out, x_und = (
-            proj[..., :out_dim],
-            proj[..., out_dim : 2 * out_dim],
-            proj[..., 2 * out_dim :],
-        )
         from protgram_directgcn_tpu.ops.spmm import propagate3
 
+        if x.ndim == 3:
+            # rg-layout carry = hypercube scale: three separate matmuls so
+            # the projections have disjoint lifetimes — a concatenated
+            # [A, G, 3·out] buffer is ~3 GB at 5-gram/out=128 and was the
+            # single largest allocation in the 4-layer OOM breakdown
+            # (experiments/exp_memwall_r2.py).  Same MXU FLOPs either way.
+            #
+            # Sub-128 out_dims are padded in the WEIGHTS (zero columns, a
+            # few KB) so each dot emits a 128-lane-multiple buffer the
+            # propagation kernels take as-is: a [·,·,64] bf16 activation
+            # already OCCUPIES the 128-lane physical footprint, and the
+            # kernel-boundary jnp.pad otherwise COPIES it into a second
+            # ~1 GB buffer at every remat boundary.  Propagation is linear,
+            # so zero feature columns stay zero; the slice back fuses into
+            # the bias/gating loop.
+            out_dim = p["w_main_in"].shape[1]
+            f_pad = -(-out_dim // 128) * 128
+            wp = (
+                (lambda w: jnp.pad(w, ((0, 0), (0, f_pad - out_dim))))
+                if f_pad != out_dim
+                else (lambda w: w)
+            )
+            xc = x.astype(ct)
+            x_in = xc @ wp(p["w_main_in"] + p["w_shared"]).astype(ct)
+            x_out = xc @ wp(p["w_main_out"] + p["w_shared"]).astype(ct)
+            x_und = xc @ wp(p["w_und"] + p["w_shared"]).astype(ct)
+        else:
+            # One fused MXU matmul for all three paths, then 3 propagations.
+            w_cat = jnp.concatenate(
+                [p["w_main_in"] + p["w_shared"], p["w_main_out"] + p["w_shared"],
+                 p["w_und"] + p["w_shared"]], axis=1,
+            )
+            proj = x.astype(ct) @ w_cat.astype(ct)  # [..., 3*out]
+            out_dim = p["w_main_in"].shape[1]
+            x_in, x_out, x_und = (
+                proj[..., :out_dim],
+                proj[..., out_dim : 2 * out_dim],
+                proj[..., 2 * out_dim :],
+            )
         pi, po, pu = propagate3(graph, x_in, x_out, x_und, use_pallas)
-        ic = pi + p["b_main_in"] + p["b_shared_in"]
-        oc = po + p["b_main_out"] + p["b_shared_out"]
-        uc = pu + p["b_und"] + p["b_shared_und"]
+        if x.ndim == 3 and f_pad != out_dim:
+            pi, po, pu = pi[..., :out_dim], po[..., :out_dim], pu[..., :out_dim]
+        # Biases are f32 params; cast the SUM to the compute dtype so the
+        # adds don't promote the three [A, G, F] propagated paths to f32
+        # (three 2 GB f32 buffers per layer in the 5-gram OOM breakdown).
+        ic = pi + (p["b_main_in"] + p["b_shared_in"]).astype(ct)
+        oc = po + (p["b_main_out"] + p["b_shared_out"]).astype(ct)
+        uc = pu + (p["b_und"] + p["b_shared_und"]).astype(ct)
     else:
         # Literal 6-propagation dataflow for parity testing.
         x = x.astype(ct)
         xs = x @ p["w_shared"].astype(ct)
         ic = (
             propagate(graph.p_in, x @ p["w_main_in"].astype(ct), use_pallas)
-            + p["b_main_in"]
-        ) + (propagate(graph.p_in, xs, use_pallas) + p["b_shared_in"])
+            + p["b_main_in"].astype(ct)
+        ) + (propagate(graph.p_in, xs, use_pallas) + p["b_shared_in"].astype(ct))
         oc = (
             propagate(graph.p_out, x @ p["w_main_out"].astype(ct), use_pallas)
-            + p["b_main_out"]
-        ) + (propagate(graph.p_out, xs, use_pallas) + p["b_shared_out"])
+            + p["b_main_out"].astype(ct)
+        ) + (propagate(graph.p_out, xs, use_pallas) + p["b_shared_out"].astype(ct))
         uc = (
             propagate(graph.p_und, x @ p["w_und"].astype(ct), use_pallas)
-            + p["b_und"]
-        ) + (propagate(graph.p_und, xs, use_pallas) + p["b_shared_und"])
+            + p["b_und"].astype(ct)
+        ) + (propagate(graph.p_und, xs, use_pallas) + p["b_shared_und"].astype(ct))
 
     (c_in, c_out, c_dir, c_und, c_all), const = _gather_node_params(p, original_indices)
     if x.ndim == 3:
@@ -303,7 +335,13 @@ def directgcn_apply(
     # while explicit inputs are referenced in place.
     def layer_block(layer_p, rp, gg, hh, drop_key):
         gcn_out = _layer_apply(layer_p, gg, hh, cfg, original_indices)
-        res_out = hh if rp is None else hh @ rp["w"] + rp["b"]
+        # Residual weights are f32 params: cast to the carry dtype so the
+        # projection (and everything downstream of the add) stays bf16
+        # under bf16 compute instead of promoting the whole layer tail.
+        res_out = (
+            hh if rp is None
+            else hh @ rp["w"].astype(hh.dtype) + rp["b"].astype(hh.dtype)
+        )
         out = jax.nn.leaky_relu(gcn_out + res_out, negative_slope=cfg.leaky_relu_slope)
         # Dropout INSIDE the (possibly remat'd) block: the bernoulli mask is
         # recomputed on backward instead of being saved per layer — at
@@ -325,17 +363,24 @@ def directgcn_apply(
         h = layer_block(params["layers"][i], params["res_projs"][i], graph, h, drop_keys[i])
 
     dec = params["decoder"]
-    z = jax.nn.relu(h @ dec["w1"] + dec["b1"])
+    # Decoder in the carry dtype: at 5-gram hypercube scale each f32
+    # [A, G, ·] decoder buffer lane-pads to ~2 GB (64- and 32-wide heads
+    # pad to 128 lanes regardless of dtype — bf16 halves the bytes).
+    z = jax.nn.relu(h @ dec["w1"].astype(h.dtype) + dec["b1"].astype(h.dtype))
     if train and drop_keys[-1] is not None and cfg.decoder_dropout > 0:
         keep = 1.0 - cfg.decoder_dropout
         mask = jax.random.bernoulli(drop_keys[-1], keep, z.shape)
         z = jnp.where(mask, z / keep, 0.0)
-    logits = z @ dec["w2"] + dec["b2"]
+    logits = z @ dec["w2"].astype(z.dtype) + dec["b2"].astype(z.dtype)
 
     h32 = h.astype(jnp.float32)
     norm = jnp.linalg.norm(h32, axis=-1, keepdims=True)
     normalized = h32 / (norm + cfg.l2_eps)
-    log_sm = jax.nn.log_softmax(logits, axis=-1)
+    # Row-wise f32 softmax math (torch-AMP promotes log_softmax the same
+    # way) but STORED in the carry dtype: an f32 [A, G, C] result would
+    # lane-pad to ~2 GB at 5-gram scale.  The fusion keeps the f32 strictly
+    # in registers.
+    log_sm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
     if rg_lead is not None:
         log_sm = log_sm.reshape((-1,) + log_sm.shape[2:])
         normalized = normalized.reshape((-1,) + normalized.shape[2:])

@@ -316,8 +316,13 @@ def extract_features(adj: HypercubeAdj, x_hyper: jnp.ndarray) -> jnp.ndarray:
 
 def _einsum(spec, a, b):
     # f32 blocks demand full-precision MXU passes (TPU matmul defaults bf16).
+    # bf16 operands keep bf16 OUTPUT (MXU still accumulates f32 in-register):
+    # asking for an f32 result here materialises 2 GB per dot at 5-gram
+    # scale — XLA schedules the convert after the gc->rg relayout, so the
+    # f32 copy exists even when the caller casts immediately.
     prec = "highest" if a.dtype == jnp.float32 else "default"
-    return jnp.einsum(spec, a, b, precision=prec, preferred_element_type=jnp.float32)
+    out_t = jnp.float32 if b.dtype == jnp.float32 else b.dtype
+    return jnp.einsum(spec, a, b, precision=prec, preferred_element_type=out_t)
 
 
 def _use_pallas() -> bool:
@@ -344,11 +349,14 @@ def _hyper_apply(d, w1, w2, x_rg, scale=1.0, shift=0.0, w_layout="gm"):
     f = x_rg.shape[2]
     # 4-byte dtypes brush the VMEM ceiling at the mandatory 128-key blocks;
     # f32 propagation (small graphs / parity runs) stays on the einsum path.
-    # The packed ("pk") kernels have NO compiled-TPU evidence — the packed K2
-    # failed to compile at 5-gram scale (scoped-VMEM OOM, see
-    # experiments/exp_packed_k2.log) — so pk-mode graphs route to XLA einsum
-    # until a validated kernel exists (pk is the memory fallback, not speed).
-    if _use_pallas() and g >= 128 and x_rg.dtype.itemsize == 2 and w_layout != "pk":
+    # pk kernels are TPU-validated at the production block sizes (gt=128):
+    # exp_packed_k2.py's scoped-VMEM OOM was specific to its gt=256 blocks
+    # (16.48M vs the 16M limit); at _pick_gt's 128 the full pk propagation
+    # compiles and matches einsum exactly (experiments/exp_pk_pallas_r2.log)
+    # — and the Pallas route keeps transients in VMEM, where the einsum
+    # lowering materialises a ~1.1 GB g-major bank relayout + a ~1.1 GB x
+    # relayout per call (the 5-gram training memory-wall driver).
+    if _use_pallas() and g >= 128 and x_rg.dtype.itemsize == 2:
         from protgram_directgcn_tpu.ops import pallas_hyper
 
         # Pad the feature dim to a 128-lane multiple at the kernel boundary:
@@ -371,14 +379,27 @@ def _hyper_apply(d, w1, w2, x_rg, scale=1.0, shift=0.0, w_layout="gm"):
         )
     x_gc = x_rg.reshape(g, a, f)  # order-preserving view of the same nodes
     if w_layout == "pk":
+        # Contract the packed [r·A+c, g] banks in place: reshaping [A*A, G]
+        # to [r, c, g] keeps G minor (no lane re-padding), and both einsums
+        # index w[r, c, g] directly — an explicit (0, 2, 1) transpose to
+        # r-major here would MATERIALISE a 6.1x-lane-padded copy per call
+        # (~1 GB at 5-gram scale), defeating pk's reason to exist.
         w1 = w1.reshape(a, a, g)  # [r, c, g]
-        w2 = w2.reshape(a, a, g).transpose(0, 2, 1)  # -> r-major [r, g, c]
-        spec1 = "rcg,rgf->gcf"
+        w2 = w2.reshape(a, a, g)  # [r, c, g]
+        spec1, spec2 = "rcg,rgf->gcf", "rcg,gcf->rgf"
     else:
         spec1 = "gcr,rgf->gcf" if w_layout == "gm" else "rgc,rgf->gcf"
+        spec2 = "rgc,gcf->rgf"
+    # bf16 carries round each dot in its own epilogue (precision-equivalent
+    # to the Pallas pipeline's bf16 inter-kernel z — _einsum keeps the MXU's
+    # f32 accumulation and only the STORED result is bf16).
     y1 = _einsum(spec1, w1, x_rg)  # A  pattern -> node order (g, c)
-    y2 = _einsum("rgc,gcf->rgf", w2, x_gc)  # Aᵀ pattern -> node order (r, g)
-    out = d[:, :, None] * x_rg.astype(jnp.float32) + y1.reshape(a, g, f) + y2
+    y2 = _einsum(spec2, w2, x_gc)  # Aᵀ pattern -> node order (r, g)
+    # Accumulate the 3-term sum in the carry dtype: an f32 accumulation
+    # forces XLA to upcast the dot outputs in their epilogues — three f32
+    # [A, G, F] buffers (~6 GB at 5-gram/F=128) in the OOM breakdown.
+    acc_t = jnp.float32 if x_rg.dtype == jnp.float32 else x_rg.dtype
+    out = d.astype(acc_t)[:, :, None] * x_rg + y1.reshape(a, g, f) + y2
     if scale != 1.0:
         out = out * scale
     if shift != 0.0:

@@ -93,15 +93,47 @@ class EarlyStopper:
         return self.counter >= self.patience
 
 
-def make_optimizer(lr: float, weight_decay: float) -> optax.GradientTransformation:
+def make_optimizer(
+    lr: float, weight_decay: float, factor_node_params_above: Optional[int] = None
+) -> optax.GradientTransformation:
     """torch.optim.Adam semantics: L2 added to the gradient before the Adam
-    moments (reference: protgram_directgcn_trainer.py:354)."""
+    moments (reference: protgram_directgcn_trainer.py:354).
+
+    ``factor_node_params_above``: when set to a node count N, per-node
+    leaves (leading dim == N — the 5 gates and the [N, out] constants) train
+    with factored-second-moment, momentum-free Adafactor instead of Adam.
+    At 5-gram hypercube scale full Adam moments for the node tables are
+    ~5 GB of a 16 GB chip; the factored state is a few tens of MB.  The
+    trainer enables this automatically ("auto") only when the Adam residency
+    estimate would not fit the chip, and logs the switch."""
 
     def factory(learning_rate):
         steps = []
         if weight_decay > 0:
             steps.append(optax.add_decayed_weights(weight_decay))
-        steps += [optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8), optax.scale(-learning_rate)]
+        adam = optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8), optax.scale(-learning_rate)
+        )
+        if factor_node_params_above is None:
+            steps.append(adam)
+            return optax.chain(*steps)
+        n = int(factor_node_params_above)
+        fact = optax.adafactor(
+            learning_rate=learning_rate,
+            multiply_by_parameter_scale=False,
+            clipping_threshold=None,
+            decay_rate=0.999,
+        )
+
+        def labels(params):
+            return jax.tree_util.tree_map(
+                lambda p: "node"
+                if getattr(p, "ndim", 0) >= 1 and p.shape[0] == n
+                else "dense",
+                params,
+            )
+
+        steps.append(optax.multi_transform({"dense": adam, "node": fact}, labels))
         return optax.chain(*steps)
 
     return optax.inject_hyperparams(factory)(learning_rate=lr)
@@ -219,6 +251,47 @@ class HierarchicalTrainer:
 
     # ------------------------------------------------------------------
 
+    _LEVEL_HBM = 14 << 30  # ~16 GB chip minus runtime reserve/headroom
+
+    def _node_param_plan(self, graph: NgramGraph, feat_dim: int):
+        """(factor_node_params, bank_hbm_budget) for one level.
+
+        Residency estimate of the training step: per-node params (gates +
+        constants, reference: protgram_directgcn.py:48-66), their optimizer
+        moments, and the per-layer remat-saved activations.  Two decisions
+        flow from it: whether the per-node tables keep torch-parity Adam
+        moments or switch to factored Adafactor state (node_param_factored
+        "auto"), and how much HBM is left for the weight banks — which is
+        what lets `to_device`'s dual->rs->pk layout chain auto-pick the
+        packed banks for deep 5-gram configs (the r-major banks alone are
+        ~6 GB lane-padded; see experiments/exp_memwall_r2.py)."""
+        from protgram_directgcn_tpu.ops.hypercube import vocab_char_codes
+
+        gcn = self.gcn
+        _, alpha = vocab_char_codes(graph.vocab)
+        n_hyper = int(alpha) ** graph.n if alpha else graph.num_nodes
+        out_dims = list(gcn.hidden_layer_dims)
+        node_itm = 2 if gcn.node_param_dtype == "bfloat16" else 4
+        act_itm = 2 if gcn.compute_dtype == "bfloat16" else 4
+        gates = 5 * len(out_dims) if gcn.use_vector_coeffs else 0
+        param_b = n_hyper * (sum(out_dims) + gates) * node_itm
+        adam_b = 2 * param_b  # Adam mu + nu (node_param_dtype as well)
+        # x + one remat-saved carry per layer + grad/workspace slack; the
+        # lane dim pads to 128 on device.
+        f_pad = max(128, -(-feat_dim // 128) * 128)
+        acts_b = (len(out_dims) + 2) * n_hyper * f_pad * act_itm
+        knob = gcn.node_param_factored
+        factored = knob == "on" or (
+            knob == "auto"
+            and param_b + adam_b + acts_b + (4 << 30) > self._LEVEL_HBM
+        )
+        opt_b = param_b // 16 if factored else adam_b
+        budget = max(2 << 30, self._LEVEL_HBM - param_b - opt_b - acts_b)
+        return factored, budget
+
+    def _bank_hbm_budget(self, graph: NgramGraph, feat_dim: int) -> int:
+        return self._node_param_plan(graph, feat_dim)[1]
+
     def _to_device_graph(self, graph: NgramGraph, feat_dim: int) -> DeviceGraph:
         """Materialise the level's propagation operators, preferring the
         gather-free hypercube format when the padded space is dense enough."""
@@ -235,7 +308,10 @@ class HierarchicalTrainer:
                 want = 0 < n_hyper <= _HYPERCUBE_MAX_RATIO * graph.num_nodes
             if want:
                 try:
-                    return graph.to_device(mode="hypercube", feat_dim=feat_dim, dtype=dtype)
+                    return graph.to_device(
+                        mode="hypercube", feat_dim=feat_dim, dtype=dtype,
+                        hbm_budget=self._bank_hbm_budget(graph, feat_dim),
+                    )
                 except Exception as exc:  # falls back to generic formats
                     if mode == "hypercube":
                         raise
@@ -512,7 +588,16 @@ class HierarchicalTrainer:
 
         l2_lambda = gcn.l2_reg_lambda
         wd = gcn.weight_decay if l2_lambda <= 0 else 0.0
-        opt = make_optimizer(gcn.lr, wd)
+        factored, _ = self._node_param_plan(graph, max(layer_dims))
+        if factored:
+            logger.info(
+                "level n=%d: per-node tables train with factored (Adafactor) "
+                "second moments — full Adam moments would not fit the chip "
+                "(node_param_factored=%s)", n_val, gcn.node_param_factored,
+            )
+        opt = make_optimizer(
+            gcn.lr, wd, factor_node_params_above=total_nodes if factored else None
+        )
         opt_state = opt.init(params)
         step = make_train_step(model_cfg, opt, l2_lambda)
 

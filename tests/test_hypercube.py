@@ -334,14 +334,22 @@ def test_to_device_falls_back_to_lean_banks_under_budget(trigram_graph):
     budget = 3 * (rs_bytes + dual_bytes) // 2
     lean = g.to_device(mode="hypercube", feat_dim=16, hbm_budget=budget)
     assert lean.p_in.wf_gm is None and lean.p_in.wb_gm is None
-    # Same propagation either way.
+    # A budget below the rs footprint falls through to the packed banks.
+    pk_bytes = hypercube_bank_bytes(g_dim, a_dim, 4, "pk")
+    packed = g.to_device(
+        mode="hypercube", feat_dim=16, hbm_budget=3 * (pk_bytes + rs_bytes) // 2
+    )
+    assert packed.p_in.bank_layout == "pk"
+    # Same propagation any way.
     import numpy as np
     from protgram_directgcn_tpu.ops import spmm
     x = jnp.asarray(np.random.default_rng(31).normal(size=(dual.num_nodes, 8)).astype(np.float32))
+    want = np.asarray(spmm.propagate(dual.p_out, x))
     np.testing.assert_allclose(
-        np.asarray(spmm.propagate(lean.p_out, x)),
-        np.asarray(spmm.propagate(dual.p_out, x)),
-        rtol=1e-5, atol=1e-6,
+        np.asarray(spmm.propagate(lean.p_out, x)), want, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(spmm.propagate(packed.p_out, x)), want, rtol=1e-5, atol=1e-6
     )
 
 

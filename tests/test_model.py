@@ -106,7 +106,11 @@ def test_bf16_compute_dtype_tracks_f32(setup, fused):
     )
     a, ea = directgcn_apply(params, dg, jnp.asarray(x), cfg_f32)
     b, eb = directgcn_apply(params, dg, jnp.asarray(x), cfg_bf16)
-    assert b.dtype == jnp.float32  # gating/bias math promotes back
+    # bf16 compute keeps the whole tail (gating, decoder, stored log_sm) in
+    # bf16 — at 5-gram hypercube scale every f32 [A, G, ·] buffer is ~2 GB.
+    # Softmax math itself runs in f32 (torch-AMP-equivalent stability).
+    assert b.dtype == jnp.bfloat16
+    b = b.astype(jnp.float32)
     scale = float(np.abs(np.asarray(a)).max())
     assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) <= 0.03 * scale
     assert float(np.abs(np.asarray(ea) - np.asarray(eb)).max()) <= 0.05
