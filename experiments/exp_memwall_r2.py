@@ -145,6 +145,21 @@ def _phase_b(jax, jnp, dg, nh, a_dim, g_dim):
     y = jnp.zeros((nh,), jnp.int32)
     mask = jnp.ones((nh,), jnp.float32)
 
+    opts = {}
+    if os.environ.get("LHS_OFF") == "1":
+        # The latency-hiding scheduler overlaps the three matrices' DMA
+        # chains — peak liveness grows with the overlap.  TPU-only flags
+        # can't go through XLA_FLAGS here (the local CPU XLA rejects
+        # unknown flags); per-compile compiler options are forwarded.
+        opts["xla_tpu_enable_latency_hiding_scheduler"] = "false"
+    if opts:
+        lowered = step.lower(
+            params, opt_state, dg, x, y, mask, jnp.float32(1.0),
+            jax.random.PRNGKey(3), None,
+        )
+        step = lowered.compile(compiler_options=opts)
+        log(f"B: compiled with {opts}")
+
     times = []
     for it in range(3):
         t0 = time.perf_counter()

@@ -232,14 +232,23 @@ def _layer_apply(
                 proj[..., 2 * out_dim :],
             )
         pi, po, pu = propagate3(graph, x_in, x_out, x_und, use_pallas)
-        if x.ndim == 3 and f_pad != out_dim:
-            pi, po, pu = pi[..., :out_dim], po[..., :out_dim], pu[..., :out_dim]
+        # Padded-width layers (see wp above) keep pi/po/pu at f_pad through
+        # the gating and slice ONCE at the exit below: slicing here would
+        # put three ~1 GB pad copies (the slices' transposes) in front of
+        # the three backward propagations simultaneously, while one exit
+        # slice costs one — and the saved inter-layer carry stays at the
+        # logical width, which XLA's remat compression halves.
         # Biases are f32 params; cast the SUM to the compute dtype so the
         # adds don't promote the three [A, G, F] propagated paths to f32
         # (three 2 GB f32 buffers per layer in the 5-gram OOM breakdown).
-        ic = pi + (p["b_main_in"] + p["b_shared_in"]).astype(ct)
-        oc = po + (p["b_main_out"] + p["b_shared_out"]).astype(ct)
-        uc = pu + (p["b_und"] + p["b_shared_und"]).astype(ct)
+        bp = (
+            (lambda b: jnp.pad(b, (0, f_pad - out_dim)))
+            if x.ndim == 3 and f_pad != out_dim
+            else (lambda b: b)
+        )
+        ic = pi + bp(p["b_main_in"] + p["b_shared_in"]).astype(ct)
+        oc = po + bp(p["b_main_out"] + p["b_shared_out"]).astype(ct)
+        uc = pu + bp(p["b_und"] + p["b_shared_und"]).astype(ct)
     else:
         # Literal 6-propagation dataflow for parity testing.
         x = x.astype(ct)
@@ -269,9 +278,19 @@ def _layer_apply(
             reshape3, (c_in, c_out, c_dir, c_und, c_all)
         )
         const = reshape3(const)
+        if getattr(const, "ndim", 0) == 3 and const.shape[-1] != ic.shape[-1]:
+            # Padded-width layer: zero-pad the per-node constant's feature
+            # dim (fuses into the gating loop).
+            const = jnp.pad(
+                const, ((0, 0), (0, 0), (0, ic.shape[-1] - const.shape[-1]))
+            )
     directed = c_dir * (c_in * ic + c_out * oc)
     undirected = c_und * uc
-    return c_all * (undirected + directed) + const
+    out = c_all * (undirected + directed) + const
+    if out.ndim == 3 and out.shape[-1] != p["w_main_in"].shape[1]:
+        # Restore the logical width once at the exit (padded-width layer).
+        out = out[..., : p["w_main_in"].shape[1]]
+    return out
 
 
 def _apply_pe(params: Params, x: jnp.ndarray, cfg: DirectGCNConfig) -> jnp.ndarray:
@@ -297,9 +316,15 @@ def directgcn_apply(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     original_indices: Optional[jnp.ndarray] = None,
+    flatten_rg: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (log_softmax logits, L2-normalized embeddings)
-    (reference: protgram_directgcn.py:195-222)."""
+    (reference: protgram_directgcn.py:195-222).
+
+    ``flatten_rg=False`` keeps rg-layout ([A, G, ·]) outputs when the carry
+    is rg: the flat [N, ·] restore is a materialised ~1 GB sublane-merge
+    relayout at 5-gram scale, which the training loss avoids by reshaping
+    its tiny y/mask vectors into [A, G] instead (pipeline/trainer._loss_fn)."""
     h = _apply_pe(params, x, cfg)
     # Hypercube graphs: carry features in the kernels' native rg layout
     # [A, G, F] through every layer (all ops here are row-wise), so the 3
@@ -381,7 +406,7 @@ def directgcn_apply(
     # lane-pad to ~2 GB at 5-gram scale.  The fusion keeps the f32 strictly
     # in registers.
     log_sm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
-    if rg_lead is not None:
+    if rg_lead is not None and flatten_rg:
         log_sm = log_sm.reshape((-1,) + log_sm.shape[2:])
         normalized = normalized.reshape((-1,) + normalized.shape[2:])
     return log_sm, normalized

@@ -519,6 +519,21 @@ def propagate3(graph, x_in: jnp.ndarray, x_out: jnp.ndarray, x_und: jnp.ndarray,
         from protgram_directgcn_tpu.parallel import halo as _halo
 
         return _halo.propagate_tri(tri, x_in, x_out, x_und)
+    if x_in.ndim == 3:
+        # rg carry = hypercube scale: chain the three independent
+        # propagations with optimization barriers so XLA schedules them
+        # (and, via the barrier's transpose, their backward chains)
+        # SEQUENTIALLY — overlapped, each chain's ~4 x 1 GB pipeline
+        # buffers (projection, z, x_flat relayout, out) are live at once
+        # and the 4-layer 5-gram train step misses the 16 GB chip by
+        # ~190 MB.  The kernels run serially on the single core anyway;
+        # only some DMA prefetch overlap is lost.
+        pi = propagate(graph.p_in, x_in, use_pallas)
+        x_out, pi = jax.lax.optimization_barrier((x_out, pi))
+        po = propagate(graph.p_out, x_out, use_pallas)
+        x_und, po = jax.lax.optimization_barrier((x_und, po))
+        pu = propagate(graph.p_und, x_und, use_pallas)
+        return pi, po, pu
     return (
         propagate(graph.p_in, x_in, use_pallas),
         propagate(graph.p_out, x_out, use_pallas),

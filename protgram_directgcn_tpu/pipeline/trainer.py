@@ -141,9 +141,15 @@ def make_optimizer(
 
 def _loss_fn(params, graph, x, y, mask, weight_factor, rng, model_cfg, l2_lambda, original_indices):
     log_sm, _ = directgcn_apply(
-        params, graph, x, model_cfg, train=True, rng=rng, original_indices=original_indices
+        params, graph, x, model_cfg, train=True, rng=rng,
+        original_indices=original_indices, flatten_rg=False,
     )
-    per_node = -jnp.take_along_axis(log_sm, y[:, None], axis=1)[:, 0]
+    if log_sm.ndim == 3:
+        # rg-layout output: reshape the tiny label/mask vectors into [A, G]
+        # instead of paying the model's ~1 GB flat-restore relayout.
+        y = y.reshape(log_sm.shape[:2])
+        mask = mask.reshape(log_sm.shape[:2])
+    per_node = -jnp.take_along_axis(log_sm, y[..., None], axis=-1)[..., 0]
     denom = jnp.maximum(mask.sum(), 1.0)
     primary = jnp.sum(per_node * mask) / denom
     # Accumulate L2 in f32 (bf16 node-param storage would otherwise lose the
