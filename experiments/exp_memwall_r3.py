@@ -1,0 +1,204 @@
+"""Round-3 memory-wall proof: deep DirectGCN full-batch training at 5-gram
+scale on one v5e chip, run TO COMPLETION (VERDICT r2 missing #1 — the r2 log
+cut off before phase B ever executed a step on the TPU).
+
+Phases (all on the real TPU, results written to experiments/MEMWALL_r03.json):
+  A. f=64 propagation correctness: padded Pallas kernel path vs einsum
+     oracle (rs banks), and the pk einsum path phase B/C train through.
+  B. the 4-layer (128,128,64,64,32) full-batch train step — bf16 compute,
+     bf16 node params, remat, factored f32 Adafactor moments for the node
+     tables (exactly what the trainer's _level_plan tier 3 now auto-picks
+     on a 16 GB chip) — with a MULTI-EPOCH decreasing loss curve on
+     learnable per-node random labels and per-step wall times.
+  C. stretch: the reference's DEFAULT hidden stack [256, 128, 64]
+     (reference: config.py:63) on the cascade input width (64), same
+     memory discipline.  An OOM here is recorded, not fatal.
+
+Run: python experiments/exp_memwall_r3.py   (TPU; ~15 min incl. compiles)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+RESULTS = {"phases": {}}
+
+
+def log(m):
+    print(f"[exp] {m}", file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+
+    from bench import build_or_load_graph
+    from protgram_directgcn_tpu.graph.structure import DeviceGraph
+    from protgram_directgcn_tpu.ops import spmm
+    from protgram_directgcn_tpu.ops.hypercube import build_hypercube
+
+    src, tgt, val, n, _, (codes, alpha) = build_or_load_graph(30_000)
+    val = (val / max(1e-9, float(np.abs(val).max()))).astype(np.float32)
+    log(f"graph: n={n} nnz={len(src)}")
+    RESULTS["graph"] = {"nodes": int(n), "nnz": int(len(src))}
+
+    # Three operators from the same matrix (memory- and layout-identical to
+    # the real p_in/p_out/p_und triple; values don't matter for OOM/timing).
+    # pk banks: what the trainer's residency-aware budget picks for deep
+    # 5-gram configs (see trainer._level_plan / exp_memwall_r2.py notes).
+    def hyper(layouts="pk"):
+        return build_hypercube(
+            src, tgt, val, np.asarray(codes, np.int64), int(alpha),
+            weights_dtype=jnp.bfloat16, bank_layouts=layouts,
+            max_block_bytes=4 << 30,
+        )
+
+    t0 = time.perf_counter()
+    p_in, p_out, p_und = hyper(), hyper(), hyper()
+    dg = DeviceGraph(p_in=p_in, p_out=p_out, p_und=p_und,
+                     num_nodes=p_in.n_out, node_map=p_in.node_map)
+    jax.block_until_ready(jax.tree_util.tree_leaves(dg))
+    log(f"3x pk-bank hypercube ops built ({time.perf_counter() - t0:.1f}s)")
+    nh = dg.num_nodes
+    a_dim, g_dim = p_in.d.shape
+
+    # --- A: f=64 correctness ------------------------------------------------
+    if os.environ.get("SKIP_A") != "1":
+        rs_op = hyper("rs")
+        x64 = jax.random.normal(
+            jax.random.PRNGKey(0), (a_dim, g_dim, 64)
+        ).astype(jnp.bfloat16)
+
+        @jax.jit
+        def prop64(adj, x):
+            return spmm.propagate(adj, x)
+
+        got = np.asarray(prop64(rs_op, x64)[:, :256].astype(jnp.float32), np.float64)
+        os.environ["PROTGRAM_HYPER_PALLAS"] = "off"
+        want = np.asarray(
+            jax.jit(lambda adj, x: spmm.propagate(adj, x))(rs_op, x64)[:, :256]
+            .astype(jnp.float32), np.float64,
+        )
+        os.environ["PROTGRAM_HYPER_PALLAS"] = "auto"
+        err = float(np.abs(got - want).max() / max(1e-9, np.abs(want).max()))
+        log(f"A: f=64 padded kernel vs einsum rel err {err:.3e}")
+        assert err < 2e-2, err
+        del rs_op
+        got_pk = np.asarray(prop64(p_in, x64)[:, :256].astype(jnp.float32), np.float64)
+        err_pk = float(np.abs(got_pk - want).max() / max(1e-9, np.abs(want).max()))
+        log(f"A: f=64 pk einsum vs rs einsum rel err {err_pk:.3e}")
+        assert err_pk < 2e-2, err_pk
+        RESULTS["phases"]["A"] = {"rel_err_pallas": err, "rel_err_pk": err_pk}
+        del x64, got, want, got_pk
+
+    # --- B: 4-layer (128,128,64,64,32) --------------------------------------
+    run_stack(jax, jnp, dg, nh, a_dim, g_dim, "B",
+              layer_dims=(128, 128, 64, 64, 32), epochs=10)
+    # --- C: reference default [256,128,64] on the cascade width -------------
+    try:
+        run_stack(jax, jnp, dg, nh, a_dim, g_dim, "C",
+                  layer_dims=(64, 256, 128, 64), epochs=6)
+    except Exception as exc:  # record OOM/compile failure, don't lose B
+        log(f"C: FAILED ({type(exc).__name__}: {str(exc)[:300]})")
+        RESULTS["phases"]["C"] = {"ok": False, "error": str(exc)[:500]}
+
+    with open("/root/repo/experiments/MEMWALL_r03.json", "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    log("results written to experiments/MEMWALL_r03.json")
+
+
+def run_stack(jax, jnp, dg, nh, a_dim, g_dim, tag, layer_dims, epochs):
+    import jax.numpy as jnp  # noqa: F811
+
+    from protgram_directgcn_tpu.models.directgcn import (
+        DirectGCNConfig,
+        init_directgcn_params,
+    )
+    from protgram_directgcn_tpu.pipeline.trainer import make_optimizer, make_train_step
+
+    num_classes = 32
+    cfg = DirectGCNConfig(
+        layer_dims=layer_dims, num_nodes=nh, num_classes=num_classes,
+        n_gram_len=5, one_gram_dim=0, max_pe_len=0, compute_dtype="bfloat16",
+        node_param_dtype="bfloat16", remat=True,
+    )
+    params = init_directgcn_params(jax.random.PRNGKey(1), cfg)
+    # The latency-hiding scheduler overlaps the per-layer propagation
+    # pipelines' ~1 GB DMA-chain buffers; with it on, peak HLO-temp liveness
+    # measured 12.86 GB and the step misses the chip by 2 GB.  Scheduling
+    # conservatively trades a little overlap for fitting at all.
+    lhs_off = {"xla_tpu_enable_latency_hiding_scheduler": "false"}
+    # Factored f32 second moments for the per-node tables — the trainer's
+    # _level_plan tier-3 pick at this scale (full Adam moments are ~10 GB
+    # f32 of the 15.75 GB chip).
+    opt = make_optimizer(1e-3, 0.0, factor_node_params_above=nh)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt, 1e-7)
+    if os.environ.get("LHS", "off") == "off":
+        lowered = step.lower(
+            params, opt_state, dg,
+            jax.ShapeDtypeStruct((a_dim, g_dim, layer_dims[0]), jnp.bfloat16),
+            jax.ShapeDtypeStruct((nh,), jnp.int32),
+            jax.ShapeDtypeStruct((nh,), jnp.float32),
+            jnp.float32(1.0), jax.random.PRNGKey(0), None,
+        )
+        step = lowered.compile(compiler_options=lhs_off)
+        log(f"{tag}: compiled with {lhs_off}")
+    param_bytes = sum(
+        a.nbytes for a in jax.tree_util.tree_leaves(params) if hasattr(a, "nbytes")
+    )
+    opt_bytes = sum(
+        a.nbytes for a in jax.tree_util.tree_leaves(opt_state) if hasattr(a, "nbytes")
+    )
+    log(f"{tag}: stack {layer_dims}: params {param_bytes / 1e9:.2f} GB "
+        f"(bf16 node tables), opt state {opt_bytes / 1e9:.2f} GB (f32)")
+
+    # bf16 features in the kernel-native rg layout (a flat input would cost
+    # a materialised ~1 GB relayout copy inside every step).
+    feat = layer_dims[0]
+    x = jax.random.normal(
+        jax.random.PRNGKey(2), (a_dim, g_dim, feat), jnp.float32
+    ).astype(jnp.bfloat16)
+    # Learnable labels: a fixed random class per node.  The per-node constant
+    # tables can fit these exactly, so a healthy optimizer drives the NLL
+    # toward zero — a real decreasing-loss curve, not a degenerate one.
+    y = jax.random.randint(jax.random.PRNGKey(7), (nh,), 0, num_classes, jnp.int32)
+    mask = jnp.ones((nh,), jnp.float32)
+
+    times, losses = [], []
+    for it in range(epochs):
+        t0 = time.perf_counter()
+        params, opt_state, loss, primary = step(
+            params, opt_state, dg, x, y, mask, jnp.float32(1.0),
+            jax.random.PRNGKey(3 + it), None,
+        )
+        lv = float(np.asarray(jax.device_get(primary)))
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        losses.append(lv)
+        log(f"{tag}: step {it}: {dt:.2f}s loss {lv:.4f}")
+        assert np.isfinite(lv), lv
+    steady = sorted(times[1:])[len(times[1:]) // 2]
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+    log(f"{tag}: stack {layer_dims} at 5-gram scale OK; median steady step "
+        f"{steady:.2f}s; loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+    RESULTS["phases"][tag] = {
+        "ok": True, "layer_dims": list(layer_dims),
+        "step_times_s": [round(t, 3) for t in times],
+        "median_steady_step_s": round(steady, 3),
+        "losses": [round(l, 4) for l in losses],
+    }
+    del params, opt_state, x
+
+
+if __name__ == "__main__":
+    main()

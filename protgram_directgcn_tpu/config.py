@@ -151,20 +151,27 @@ class GCNConfig:
     sanity_check_test_split: float = 0.2
     # In-training orbax checkpoint cadence (epochs); 0 disables.
     checkpoint_every_epochs: int = 100
-    # TPU-specific: compute dtype for matmuls/propagation ("bfloat16"|"float32").
-    compute_dtype: str = "float32"
-    # Storage dtype for per-node gates/constant AND their Adam moments
-    # ("bfloat16" halves the dominant parameter memory at 5-gram scale —
-    # see models/directgcn.py DirectGCNConfig.node_param_dtype).
-    node_param_dtype: str = "float32"
+    # TPU-specific memory-governed knobs.  All four default to "auto": the
+    # trainer's residency plan (pipeline/trainer.py _level_plan) picks the
+    # cheapest tier that fits the chip — f32/no-remat/Adam (torch parity) on
+    # small levels, escalating through remat to the proven 5-gram
+    # configuration (bf16 compute + bf16 node params + remat + factored
+    # moments) as the estimate approaches the device's HBM.  Explicit values
+    # override the corresponding field at every tier.
+    # Compute dtype for matmuls/propagation ("auto"|"bfloat16"|"float32").
+    compute_dtype: str = "auto"
+    # Storage dtype for per-node gates/constant ("auto"|"bfloat16"|"float32"
+    # — see models/directgcn.py DirectGCNConfig.node_param_dtype; optimizer
+    # moments stay f32 regardless, trainer _f32_state).
+    node_param_dtype: str = "auto"
     # Optimizer for the per-node tables (5 gates + the [N, out] constants):
     # "auto" keeps torch-parity Adam unless its full moments would overflow
     # the chip alongside banks + activations (5-gram scale), then switches
     # those leaves to factored-second-moment Adafactor (state: MBs instead
     # of GBs); "on"/"off" force either way.
     node_param_factored: str = "auto"
-    # Rematerialise GCN layers on backward (activation memory <-> FLOPs).
-    remat: bool = False
+    # Rematerialise GCN layers on backward ("auto"|True|False).
+    remat: Any = "auto"
     # Sparse format selection: "auto" picks dense vs ELL by a roofline byte
     # model; can be forced to "dense", "ell", or "pallas".
     spmm_mode: str = "auto"

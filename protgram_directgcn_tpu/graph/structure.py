@@ -122,7 +122,7 @@ class NgramGraph:
             # Three matrices share one chip; ``hbm_budget`` is what the
             # caller leaves them (HierarchicalTrainer subtracts its model
             # residency — params, Adam moments, remat saves — first).
-            from protgram_directgcn_tpu.ops.block import BlockStructureError
+            from protgram_directgcn_tpu.ops.block import BankBudgetError
 
             per_matrix_budget = hbm_budget // 3
 
@@ -142,9 +142,9 @@ class NgramGraph:
                             s, t, v, codes, alpha, weights_dtype=dtype,
                             bank_layouts=layouts, max_block_bytes=per_matrix_budget,
                         )
-                    except BlockStructureError as exc:
-                        if "padded bytes" not in str(exc):
-                            raise  # structural failure: no layout can help
+                    except BankBudgetError as exc:
+                        # Budget overflow only: a structural
+                        # BlockStructureError propagates — no layout helps.
                         last_exc = exc
                 raise last_exc
 

@@ -50,6 +50,12 @@ class BlockStructureError(ValueError):
     """Raised when the edge set does not factor over the given node keys."""
 
 
+class BankBudgetError(BlockStructureError):
+    """Raised when a bank layout is structurally fine but its padded device
+    footprint exceeds the caller's HBM budget — the one failure mode the
+    dual->rs->pk fallback chain (graph/structure.py) may continue past."""
+
+
 @struct.dataclass
 class BlockNgramAdj:
     """Prefix/suffix-block factorisation of an n-gram propagation matrix."""

@@ -162,7 +162,9 @@ def build_hypercube(
     itemsize = jnp.dtype(weights_dtype).itemsize
     padded = hypercube_bank_bytes(g, a, itemsize, bank_layouts)
     if padded > max_block_bytes:
-        raise BlockStructureError(
+        from protgram_directgcn_tpu.ops.block import BankBudgetError
+
+        raise BankBudgetError(
             f"hypercube banks would occupy {padded} padded bytes on device"
         )
 
@@ -407,6 +409,40 @@ def _hyper_apply(d, w1, w2, x_rg, scale=1.0, shift=0.0, w_layout="gm"):
     return out.astype(x_rg.dtype)
 
 
+def _sddmm_hyper(d, grad, x_rg, scale, layout):
+    """Gradients w.r.t. the diagonal and the two weight banks — the
+    hypercube SDDMM: per-key [A x A] outer-product contractions (the
+    sampled-product counterpart of the two propagation kernels).
+
+    With ``out = scale * (D + K1(wf) + K2(wb)) x + shift``:
+      dd[r, g]        = scale * <grad[r, g, :], x[r, g, :]>
+      dwf[r, g, c]    = scale * <grad_gc[g, c, :], x_rg[r, g, :]>
+      dwb[r, g, c]    = scale * <grad_rg[r, g, :], x_gc[g, c, :]>
+    emitted in the bank layout the forward consumed ("gm" [G,A,A] (g,c,r);
+    "rs" [A,G,A] (r,g,c); "pk" packed [A*A, G] (r*A+c, g)).  Dense over the
+    bank tables: structural zeros (absent node pairs) receive gradient too —
+    under this format the bank IS the parameter, so such entries mean
+    "create an edge"; mask with the bank's sparsity pattern to forbid that.
+    """
+    a, g, f = x_rg.shape
+    g32 = grad.astype(jnp.float32)
+    x32 = x_rg.astype(jnp.float32)
+    dd = jnp.sum(g32 * x32, axis=-1) * scale  # [A, G] f32 (d is always f32)
+    grad_gc = g32.reshape(g, a, f)
+    x_gc = x32.reshape(g, a, f)
+    if layout == "gm":
+        dwf = jnp.einsum("gcf,rgf->gcr", grad_gc, x32)
+    elif layout == "pk":
+        dwf = jnp.einsum("gcf,rgf->rcg", grad_gc, x32).reshape(a * a, g)
+    else:  # rs
+        dwf = jnp.einsum("gcf,rgf->rgc", grad_gc, x32)
+    if layout == "pk":
+        dwb = jnp.einsum("rgf,gcf->rcg", g32, x_gc).reshape(a * a, g)
+    else:  # K2 consumes the r-major bank in both "gm" (dual) and "rs" modes
+        dwb = jnp.einsum("rgf,gcf->rgc", g32, x_gc)
+    return dd, dwf * scale, dwb * scale
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _propagate_hyper_affine(layout, scale, shift, d, w1f, w1b, wf2, wb2, x):
     """w1f/w1b: the A-/Aᵀ-pattern K1 banks; wf2/wb2 the K2-side banks, all in
@@ -416,16 +452,31 @@ def _propagate_hyper_affine(layout, scale, shift, d, w1f, w1b, wf2, wb2, x):
 
 
 def _propagate_hyper_affine_fwd(layout, scale, shift, d, w1f, w1b, wf2, wb2, x):
+    from protgram_directgcn_tpu.ops.spmm import edge_gradients_enabled
+
     out = _hyper_apply(d, w1f, wb2, x, scale, shift, w_layout=layout)
-    return out, (d, w1b, wf2)
+    res = (d, w1b, wf2) + ((x,) if edge_gradients_enabled() else ())
+    return out, res
 
 
 def _propagate_hyper_affine_bwd(layout, scale, shift, res, grad):
-    d, w1b, wf2 = res
+    d, w1b, wf2 = res[:3]
     # d(scale*Mx + shift)/dx applied to grad = scale * Mᵀ grad — the scale
     # rides the backward kernels' epilogue too.
     dx = _hyper_apply(d, w1b, wf2, grad, scale, 0.0, w_layout=layout)
     zeros = lambda ref: jnp.zeros_like(ref)  # noqa: E731 — graph is constant
+    if len(res) == 4:  # ops.spmm.edge_gradients(): hypercube SDDMM
+        x_rg = res[3]
+        dd, dwf, dwb = _sddmm_hyper(d, grad, x_rg, scale, layout)
+        # The forward product reads w1f (A pattern) and wb2 (Aᵀ pattern);
+        # w1b/wf2 only drive the backward and get strict zeros.  In the
+        # "rs"/"pk" modes w1f is wf2 and w1b is wb2 (aliased arrays), so
+        # JAX's cotangent accumulation delivers exactly one dwf + one dwb
+        # to the adjacency's two banks.
+        return (
+            dd.astype(d.dtype), dwf.astype(w1b.dtype), zeros(w1b),
+            zeros(wf2), dwb.astype(wf2.dtype), dx,
+        )
     return (zeros(d), zeros(w1b), zeros(w1b), zeros(wf2), zeros(wf2), dx)
 
 

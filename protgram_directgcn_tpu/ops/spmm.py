@@ -26,6 +26,7 @@ gather→multiply→accumulate ELL propagation for HBM-resident graphs.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional, Tuple, Union
 
@@ -33,6 +34,39 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
+
+# ----------------------------------------------------------------------------
+# SDDMM: optional gradients w.r.t. adjacency weights
+# ----------------------------------------------------------------------------
+
+# Off by default: the reference never learns edge weights (its adjacency is
+# a preprocessed constant, graph_utils.py:198-287), and the dw contractions
+# cost an extra sampled dense-dense product per propagation.  Enable with
+# the `edge_gradients()` context for models that train adjacency values.
+_EDGE_GRADS = False
+
+
+@contextlib.contextmanager
+def edge_gradients(enable: bool = True):
+    """Enable SDDMM gradients w.r.t. adjacency weights (``adj.w`` leaves).
+
+    dw for the edge-list formats is the sampled dense-dense product
+    ``dw[slot] = <g[tgt], x[src]>``; the hypercube format computes the
+    per-key [A x A] outer-product contraction (ops/hypercube.py).  The flag
+    is read at TRACE time: it must be active when the surrounding jit first
+    traces, and toggling it does not invalidate already-compiled functions —
+    re-jit to switch.  Padding slots (w == 0) receive zero gradient."""
+    global _EDGE_GRADS
+    prev = _EDGE_GRADS
+    _EDGE_GRADS = bool(enable)
+    try:
+        yield
+    finally:
+        _EDGE_GRADS = prev
+
+
+def edge_gradients_enabled() -> bool:
+    return _EDGE_GRADS
 
 # ----------------------------------------------------------------------------
 # Device adjacency formats (pytrees)
@@ -386,20 +420,62 @@ def _ell_apply(idx: jnp.ndarray, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+def _sddmm_ell(idx: jnp.ndarray, w: jnp.ndarray, x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Sampled dense-dense product ``dw[i, k] = <g[i], x[idx[i, k]]>``.
+
+    The SDDMM counterpart of `_ell_apply` (same 1-D flattened gathers /
+    chunking discipline).  Padding slots (w == 0) are masked to zero so the
+    padded ELL structure never leaks gradient into fictitious edges."""
+    n, k = idx.shape
+    f = x.shape[-1]
+    g32 = g.astype(jnp.float32)
+    if k <= _ELL_UNROLL_K:
+        cols = [
+            jnp.sum(g32 * jnp.take(x, idx[:, j], axis=0).astype(jnp.float32), axis=-1)
+            for j in range(k)
+        ]
+        dw = jnp.stack(cols, axis=1)
+    else:
+        chunk = max(1, min(k, _ELL_CHUNK_BYTES // max(1, 4 * n * f)))
+        num_chunks = (k + chunk - 1) // chunk
+        idx_p = idx
+        if num_chunks * chunk != k:
+            idx_p = jnp.pad(idx, ((0, 0), (0, num_chunks * chunk - k)))
+        idx_c = idx_p.reshape(n, num_chunks, chunk).transpose(1, 0, 2)  # [C, N, chunk]
+
+        def body(_, ic):
+            gathered = jnp.take(x, ic.reshape(-1), axis=0).reshape(n, chunk, f)
+            return None, jnp.einsum(
+                "nf,ncf->nc", g32, gathered.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+
+        _, dw_c = jax.lax.scan(body, None, idx_c)
+        dw = dw_c.transpose(1, 0, 2).reshape(n, num_chunks * chunk)[:, :k]
+    return jnp.where(w != 0, dw, 0.0).astype(w.dtype)
+
+
 @jax.custom_vjp
 def _propagate_ell(idx, w, idx_t, w_t, x):
     return _ell_apply(idx, w, x)
 
 
 def _propagate_ell_fwd(idx, w, idx_t, w_t, x):
-    return _ell_apply(idx, w, x), (idx, w, idx_t, w_t)
+    res = (idx, w, idx_t, w_t) + ((x,) if _EDGE_GRADS else ())
+    return _ell_apply(idx, w, x), res
 
 
 def _propagate_ell_bwd(res, g):
-    idx, w, idx_t, w_t = res
+    idx, w, idx_t, w_t = res[:4]
     dx = _ell_apply(idx_t, w_t, g)  # transpose-orientation gather, no scatter
     z_i = np.zeros(idx.shape, dtype=jax.dtypes.float0)
     z_it = np.zeros(idx_t.shape, dtype=jax.dtypes.float0)
+    if len(res) == 5:  # edge_gradients(): SDDMM w.r.t. the forward weights
+        dw = _sddmm_ell(idx, w, res[4], g)
+        # w_t holds the same values in the transpose orientation but is not
+        # read by the forward product — its gradient is strictly zero; a
+        # caller training edge weights updates w and rebuilds/syncs w_t.
+        return (z_i, dw, z_it, jnp.zeros_like(w_t), dx)
     return (z_i, jnp.zeros_like(w), z_it, jnp.zeros_like(w_t), dx)
 
 
@@ -417,16 +493,30 @@ def _propagate_bucketed(idx, w, inv_perm, idx_t, w_t, inv_perm_t, x):
 
 
 def _propagate_bucketed_fwd(idx, w, inv_perm, idx_t, w_t, inv_perm_t, x):
-    return _bucketed_apply(idx, w, inv_perm, x), (idx, w, inv_perm, idx_t, w_t, inv_perm_t)
+    res = (idx, w, inv_perm, idx_t, w_t, inv_perm_t) + ((x,) if _EDGE_GRADS else ())
+    return _bucketed_apply(idx, w, inv_perm, x), res
 
 
 def _propagate_bucketed_bwd(res, g):
-    idx, w, inv_perm, idx_t, w_t, inv_perm_t = res
+    idx, w, inv_perm, idx_t, w_t, inv_perm_t = res[:6]
     dx = _bucketed_apply(idx_t, w_t, inv_perm_t, g)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    if len(res) == 7:  # edge_gradients(): per-bucket SDDMM
+        x = res[6]
+        # out = concat(buckets)[inv_perm] -> cotangent of the concatenation
+        # is g put back into bucket order.
+        g_concat = jnp.take(g, jnp.argsort(inv_perm), axis=0)
+        dw, start = [], 0
+        for bi, bw in zip(idx, w):
+            rows = bi.shape[0]
+            dw.append(_sddmm_ell(bi, bw, x, g_concat[start : start + rows]))
+            start += rows
+        dw = tuple(dw)
+    else:
+        dw = tuple(jnp.zeros_like(a) for a in w)
     return (
         tuple(f0(a) for a in idx),
-        tuple(jnp.zeros_like(a) for a in w),
+        dw,
         f0(inv_perm),
         tuple(f0(a) for a in idx_t),
         tuple(jnp.zeros_like(a) for a in w_t),
@@ -450,14 +540,24 @@ def _propagate_coo(src, tgt, w, src_t, tgt_t, w_t, n_out, n_in, x):
 
 def _propagate_coo_fwd(src, tgt, w, src_t, tgt_t, w_t, n_out, n_in, x):
     # fwd receives args in original positions; bwd gets nondiff args first.
-    return _coo_apply(src, tgt, w, x, n_out), (src, tgt, w, src_t, tgt_t, w_t)
+    res = (src, tgt, w, src_t, tgt_t, w_t) + ((x,) if _EDGE_GRADS else ())
+    return _coo_apply(src, tgt, w, x, n_out), res
 
 
 def _propagate_coo_bwd(n_out, n_in, res, g):
-    src, tgt, w, src_t, tgt_t, w_t = res
+    src, tgt, w, src_t, tgt_t, w_t = res[:6]
     dx = _coo_apply(src_t, tgt_t, w_t, g, n_in)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
-    return (f0(src), f0(tgt), jnp.zeros_like(w), f0(src_t), f0(tgt_t), jnp.zeros_like(w_t), dx)
+    if len(res) == 7:  # edge_gradients(): dw[e] = <g[tgt[e]], x[src[e]]>
+        x = res[6]
+        dw = jnp.sum(
+            jnp.take(g, tgt, axis=0).astype(jnp.float32)
+            * jnp.take(x, src, axis=0).astype(jnp.float32),
+            axis=-1,
+        ).astype(w.dtype)
+    else:
+        dw = jnp.zeros_like(w)
+    return (f0(src), f0(tgt), dw, f0(src_t), f0(tgt_t), jnp.zeros_like(w_t), dx)
 
 
 # custom_vjp positional plumbing: nondiff_argnums must come first in fwd/bwd.

@@ -7,18 +7,25 @@ ownership tests and prefix locality), and each propagation splits into
 - a **local** part: edges whose source is owned by the same device,
 - a **halo** part: edges whose source lives on a peer device.
 
-Boundary source features are exchanged with a single padded
-``jax.lax.all_to_all`` (ragged sets padded to the max per-peer count), and
-the local aggregation is issued *before* the halo aggregation consumes the
-exchanged buffer, so XLA's latency-hiding scheduler overlaps the collective
-with local compute.
+Boundary source features are exchanged as a RING of per-step ``ppermute``
+collectives — step k moves each device's chunk to peer (d+k)%D.  SPMD
+requires one static chunk size per step (the same trace runs on every
+device), but sizes vary freely ACROSS steps: each step is padded only to
+its own max over devices, not to the global max over all (device, peer)
+pairs.  The r2 design's single ``all_to_all`` padded every pair to the one
+global s_max — an O(D²·s_max) buffer that resent row-0 features for every
+padded slot and capped adversarial weak-scaling retention at 0.74 (VERDICT
+r2 item #4); the ring plan's buffer is Σ_k max_d s[d,k], which degrades
+only the one step a skewed pair lives on.  The per-step permutes have no
+data dependencies, so XLA overlaps them with each other and with the local
+aggregation issued before the halo aggregation consumes the buffer.
 
 Host-side, `build_halo_partition` precomputes per-device padded arrays:
-local/halo ELL tables (halo indices pre-remapped into the receive-buffer
-coordinate space) and per-peer send index lists.  This mirrors how the
-reference keeps per-node state indexable under partitioning via
-``original_indices`` (reference: protgram_directgcn_trainer.py:179-197) —
-ownership is by contiguous range, so original ids are recovered by adding
+local/halo ELL tables (halo indices pre-remapped into the concatenated
+receive-buffer coordinate space) and per-step send index lists.  This
+mirrors how the reference keeps per-node state indexable under partitioning
+via ``original_indices`` (reference: protgram_directgcn_trainer.py:179-197)
+— ownership is by contiguous range, so original ids are recovered by adding
 the range offset.
 """
 
@@ -41,18 +48,51 @@ class HaloPartition:
     # Local edges: sources are local row indices.
     local_idx: jnp.ndarray  # [D, Nd, Kl] int32
     local_w: jnp.ndarray  # [D, Nd, Kl] f32
-    # Halo edges: sources index the flattened receive buffer [D*S, ...].
+    # Halo edges: sources index the concatenated ring receive buffer.
     halo_idx: jnp.ndarray  # [D, Nd, Kh] int32
     halo_w: jnp.ndarray  # [D, Nd, Kh] f32
-    # For each peer, local row indices to send (padded with 0).
-    send_idx: jnp.ndarray  # [D, D, S] int32
+    # Ring-exchange plan: entry k-1 is [D, s_k] int32 — the local rows
+    # device d sends to peer (d + k) % D at step k.  Sizes s_k vary per
+    # step (each padded to its own max over devices only).
+    send_steps: Tuple[jnp.ndarray, ...]
+    num_shards: int = struct.field(pytree_node=False, default=1)
     num_nodes: int = struct.field(pytree_node=False, default=0)
     rows_per_shard: int = struct.field(pytree_node=False, default=0)
-    # Debug: assert per-peer checksums of the exchanged boundary features
+    # Debug: assert per-step checksums of the exchanged boundary features
     # (SURVEY §5.2 — the TPU equivalent of the reference's determinism
-    # tooling, gnn_benchmarker.py:41-52).  The checksums ride a second tiny
-    # all_to_all and are compared against the received chunks host-side.
+    # tooling, gnn_benchmarker.py:41-52).  The checksums ride tiny extra
+    # permutes and are compared against the received chunks host-side.
     debug_checksums: bool = struct.field(pytree_node=False, default=False)
+
+
+def _ring_plan(recv_sets, nd: int, num_shards: int):
+    """(send_steps, buf_offset) for the per-step ring exchange.
+
+    ``recv_sets[d][p]``: sorted global ids device d needs from peer p.  At
+    ring step k, device q sends to d=(q+k)%D the set recv_sets[d][q]; the
+    step's chunk is padded to s_k = max_d |recv_sets[d][(d-k)%D]| — per-step
+    max only.  Device d's receive buffer is the concatenation over k of the
+    step-k chunk; ``buf_offset[k]`` is its row offset."""
+    send_steps = []
+    offsets = [0] * (num_shards + 1)
+    for k in range(1, num_shards):
+        s_k = max(
+            1,
+            max(len(recv_sets[d][(d - k) % num_shards]) for d in range(num_shards)),
+        )
+        step = np.zeros((num_shards, s_k), np.int32)
+        for q in range(num_shards):
+            need = recv_sets[(q + k) % num_shards][q]  # owned by q
+            step[q, : len(need)] = (need - q * nd).astype(np.int32)
+        send_steps.append(step)
+        offsets[k] = offsets[k - 1] + s_k if k > 1 else 0
+    # offsets[k] = start row of step-k chunk (k >= 1)
+    off = {}
+    acc = 0
+    for k in range(1, num_shards):
+        off[k] = acc
+        acc += send_steps[k - 1].shape[1]
+    return send_steps, off
 
 
 def build_halo_partition(
@@ -86,18 +126,11 @@ def build_halo_partition(
             sel = halo_peers[d] == p
             recv_sets[d][p] = np.unique(halo_gsrcs[d][sel])
 
-    s_max = max(1, max(len(recv_sets[d][p]) for d in range(num_shards) for p in range(num_shards)))
+    send_steps, buf_off = _ring_plan(recv_sets, nd, num_shards)
 
-    # send_idx[d, p]: rows (local to d) that peer p needs from d.
-    send_idx = np.zeros((num_shards, num_shards, s_max), np.int32)
-    for d in range(num_shards):
-        for p in range(num_shards):
-            need = recv_sets[p][d]  # global ids owned by d, needed by p
-            send_idx[d, p, : len(need)] = (need - d * nd).astype(np.int32)
-
-    # Remap halo sources into receive-buffer coordinates: after all_to_all,
-    # device d's receive buffer is [num_shards, s_max] rows where chunk p
-    # holds recv_sets[d][p] in order.
+    # Remap halo sources into receive-buffer coordinates: device d's buffer
+    # concatenates the per-step chunks; the chunk from peer p lands at step
+    # k = (d - p) % D with row offset buf_off[k].
     def ell_pack(rows, cols, ws, n_rows, pad=4):
         from protgram_directgcn_tpu.ops.spmm import _ell_one_sided
 
@@ -111,7 +144,7 @@ def build_halo_partition(
             sel = halo_peers[d] == p
             if sel.any():
                 pos = np.searchsorted(recv_sets[d][p], halo_gsrcs[d][sel])
-                buf_coords[sel] = p * s_max + pos
+                buf_coords[sel] = buf_off[(d - p) % num_shards] + pos
         hi, hw = ell_pack(halo_rows[d], buf_coords, halo_ws[d], nd)
         l_idx.append(li)
         l_w.append(lw)
@@ -127,7 +160,8 @@ def build_halo_partition(
         local_w=jnp.asarray(stack_pad(l_w).astype(np.float32)),
         halo_idx=jnp.asarray(stack_pad(h_idx).astype(np.int32)),
         halo_w=jnp.asarray(stack_pad(h_w).astype(np.float32)),
-        send_idx=jnp.asarray(send_idx),
+        send_steps=tuple(jnp.asarray(s) for s in send_steps),
+        num_shards=int(num_shards),
         num_nodes=int(num_nodes),
         rows_per_shard=int(nd),
         debug_checksums=bool(debug_checksums),
@@ -153,10 +187,37 @@ def _ell_block(idx, w, table):
     return acc
 
 
+def _ring_exchange(x_local, send_steps, axis: str, d_count: int, debug_checksums: bool):
+    """Run the per-step ring permutes; returns the concatenated receive
+    buffer [Σ_k s_k, F] (a zeros row when there are no peers).
+
+    The k permutes have no data dependencies: XLA issues them concurrently
+    and the latency-hiding scheduler overlaps them with whatever local
+    compute the caller schedules before consuming the buffer."""
+    chunks = []
+    for k, sidx in enumerate(send_steps, start=1):
+        chunk = jnp.take(x_local, sidx[0], axis=0)  # [s_k, F]
+        perm = [(j, (j + k) % d_count) for j in range(d_count)]
+        recv = jax.lax.ppermute(chunk, axis, perm)
+        if debug_checksums:
+            # Checksum rides the same permutation: bit-exact transport gives
+            # identical same-shape reductions on both ends.
+            expect = jax.lax.ppermute(
+                jnp.sum(chunk.astype(jnp.float32))[None], axis, perm
+            )
+            got = jnp.sum(recv.astype(jnp.float32))[None]
+            jax.debug.callback(_assert_checksums, expect, got)
+        chunks.append(recv)
+    if not chunks:
+        return jnp.zeros((1, x_local.shape[1]), x_local.dtype)
+    return jnp.concatenate(chunks, axis=0)
+
+
 def halo_propagate(part: HaloPartition, x: jnp.ndarray, mesh: Mesh, axis: str = "nodes") -> jnp.ndarray:
-    """Distributed propagation: all-to-all halo exchange overlapped with
-    local aggregation.  x: [num_shards*rows_per_shard, F] sharded on axis."""
+    """Distributed propagation: ring halo exchange overlapped with local
+    aggregation.  x: [num_shards*rows_per_shard, F] sharded on axis."""
     d = mesh.shape[axis]
+    n_steps = len(part.send_steps)
 
     @functools.partial(
         jax.shard_map,
@@ -164,47 +225,28 @@ def halo_propagate(part: HaloPartition, x: jnp.ndarray, mesh: Mesh, axis: str = 
         in_specs=(
             P(axis, None, None), P(axis, None, None),  # local idx/w
             P(axis, None, None), P(axis, None, None),  # halo idx/w
-            P(axis, None, None),  # send_idx
+            tuple(P(axis, None) for _ in range(n_steps)),  # ring send plan
             P(axis, None),  # x
         ),
         out_specs=P(axis, None),
     )
-    def _run(l_idx, l_w, h_idx, h_w, send_idx, x_local):
+    def _run(l_idx, l_w, h_idx, h_w, send_steps, x_local):
         l_idx, l_w = l_idx[0], l_w[0]
         h_idx, h_w = h_idx[0], h_w[0]
-        send_idx = send_idx[0]  # [D, S]
-        # 1. Launch the halo exchange: gather per-peer send rows, all-to-all.
-        send_buf = jnp.take(x_local, send_idx.reshape(-1), axis=0)
-        send_buf = send_buf.reshape(d, send_idx.shape[1], x_local.shape[1])
-        recv = jax.lax.all_to_all(send_buf, axis, split_axis=0, concat_axis=0, tiled=False)
-        # all_to_all with split/concat 0 on [D, S, F]: chunk p of the result
-        # holds what peer p sent us.
-        if part.debug_checksums:
-            # Exchange per-peer checksums of the sent chunks and compare with
-            # the received chunks: transport corruption / a mis-ordered
-            # exchange shows up as a mismatch (bit-exact data -> identical
-            # same-shape reductions).
-            sent_sums = jnp.sum(
-                send_buf.astype(jnp.float32), axis=(1, 2), keepdims=True
-            )  # [D, 1, 1]
-            recv_sums = jax.lax.all_to_all(
-                sent_sums, axis, split_axis=0, concat_axis=0, tiled=False
-            ).reshape(d)
-            got_sums = jnp.sum(recv.astype(jnp.float32), axis=(1, 2))
-            jax.debug.callback(_assert_checksums, recv_sums, got_sums)
-        recv_flat = recv.reshape(d * send_idx.shape[1], x_local.shape[1])
-        # 2. Local aggregation (no dependence on recv → overlaps the collective).
+        # 1. Launch the ring exchange (issued first so it overlaps step 2).
+        recv_flat = _ring_exchange(x_local, send_steps, axis, d, part.debug_checksums)
+        # 2. Local aggregation (no dependence on recv → overlaps the permutes).
         out = _ell_block(l_idx, l_w, x_local)
         # 3. Halo aggregation from the receive buffer.
         out = out + _ell_block(h_idx, h_w, recv_flat)
         return out
 
-    return _run(part.local_idx, part.local_w, part.halo_idx, part.halo_w, part.send_idx, x)
+    return _run(part.local_idx, part.local_w, part.halo_idx, part.halo_w, part.send_steps, x)
 
 
 def pad_node_features(x: np.ndarray, part: HaloPartition) -> np.ndarray:
     """Pad [N, F] features to num_shards*rows_per_shard rows."""
-    total = part.send_idx.shape[0] * part.rows_per_shard
+    total = part.num_shards * part.rows_per_shard
     if x.shape[0] < total:
         x = np.pad(x, ((0, total - x.shape[0]), (0, 0)))
     return x
@@ -255,7 +297,7 @@ class HaloAdj:
 
     @property
     def n_out(self) -> int:
-        return self.fwd.send_idx.shape[0] * self.fwd.rows_per_shard
+        return self.fwd.num_shards * self.fwd.rows_per_shard
 
 
 @jax.custom_vjp
@@ -311,12 +353,12 @@ class TriHaloPartition:
     near-identical sparsity patterns (all contained in the symmetric closure
     of the same edge set, reference: graph_utils.py:198-287), so their
     per-peer recv sets almost coincide.  Sharing the union recv set turns
-    the 3 fwd all_to_alls per layer into ONE [S_u, 3F] exchange — the same
-    bytes, a third of the collective launches and padding waste (the
+    the 3 fwd exchanges per layer into ONE [S_u, 3F] ring exchange — the
+    same bytes, a third of the collective launches and padding waste (the
     latency term that dominates weak-scaling at small per-shard work)."""
 
-    parts: Tuple[HaloPartition, HaloPartition, HaloPartition]  # share send_idx
-    send_idx: jnp.ndarray  # [D, D, S_u] int32 (the shared union send set)
+    parts: Tuple[HaloPartition, HaloPartition, HaloPartition]  # share the plan
+    send_steps: Tuple[jnp.ndarray, ...]  # shared union ring plan
 
     @property
     def rows_per_shard(self) -> int:
@@ -351,14 +393,8 @@ def build_tri_halo_partition(
                 if sel.any():
                     union_sets[dd][p] = np.union1d(union_sets[dd][p], g_src[sel])
 
-    s_max = max(
-        1, max(len(union_sets[dd][p]) for dd in range(d_count) for p in range(d_count))
-    )
-    send_idx = np.zeros((d_count, d_count, s_max), np.int32)
-    for dd in range(d_count):
-        for p in range(d_count):
-            need = union_sets[p][dd]  # global ids owned by dd, needed by p
-            send_idx[dd, p, : len(need)] = (need - dd * nd).astype(np.int32)
+    send_steps, buf_off = _ring_plan(union_sets, nd, d_count)
+    send_steps_j = tuple(jnp.asarray(s) for s in send_steps)
 
     from protgram_directgcn_tpu.ops.spmm import _ell_one_sided
 
@@ -380,7 +416,7 @@ def build_tri_halo_partition(
                 sel = hp == p
                 if sel.any():
                     pos = np.searchsorted(union_sets[dd][p], hg[sel])
-                    buf[sel] = p * s_max + pos
+                    buf[sel] = buf_off[(dd - p) % d_count] + pos
             li, lwm = _ell_one_sided(ls, lr, lw, nd)
             hi, hwm = _ell_one_sided(buf, hr, hw, nd)
             l_idx.append(li)
@@ -398,13 +434,14 @@ def build_tri_halo_partition(
                 local_w=jnp.asarray(stack_pad(l_w).astype(np.float32)),
                 halo_idx=jnp.asarray(stack_pad(h_idx).astype(np.int32)),
                 halo_w=jnp.asarray(stack_pad(h_w).astype(np.float32)),
-                send_idx=jnp.asarray(send_idx),
+                send_steps=send_steps_j,
+                num_shards=int(d_count),
                 num_nodes=int(num_nodes),
                 rows_per_shard=int(nd),
                 debug_checksums=bool(debug_checksums),
             )
         )
-    return TriHaloPartition(parts=tuple(parts), send_idx=jnp.asarray(send_idx))
+    return TriHaloPartition(parts=tuple(parts), send_steps=send_steps_j)
 
 
 def tri_halo_propagate(tri: TriHaloPartition, xs, mesh: Mesh, axis: str = "nodes"):
@@ -414,28 +451,27 @@ def tri_halo_propagate(tri: TriHaloPartition, xs, mesh: Mesh, axis: str = "nodes
     d = mesh.shape[axis]
     f = xs[0].shape[1]
     p0, p1, p2 = tri.parts
+    n_steps = len(tri.send_steps)
+    debug = p0.debug_checksums
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(
-            P(axis, None, None),  # shared send_idx
+            tuple(P(axis, None) for _ in range(n_steps)),  # shared ring plan
             tuple(P(axis, None, None) for _ in range(12)),  # 3x local/halo idx/w
             tuple(P(axis, None) for _ in range(3)),  # xs
         ),
         out_specs=(P(axis, None), P(axis, None), P(axis, None)),
     )
-    def _run(send_idx, tables, xs_local):
-        send_idx = send_idx[0]  # [D, S_u]
+    def _run(send_steps, tables, xs_local):
         tables = [t[0] for t in tables]
         xs_local = list(xs_local)
-        s_u = send_idx.shape[1]
-        # 1. One exchange: concat the three projections' rows -> [D, S_u, 3F].
+        # 1. One ring exchange for all three: concat the projections' rows
+        #    -> per-step [s_k, 3F] chunks.
         cat = jnp.concatenate(xs_local, axis=1)  # [Nd, 3F]
-        send_buf = jnp.take(cat, send_idx.reshape(-1), axis=0).reshape(d, s_u, 3 * f)
-        recv = jax.lax.all_to_all(send_buf, axis, split_axis=0, concat_axis=0, tiled=False)
-        recv_flat = recv.reshape(d * s_u, 3 * f)
-        # 2. Local aggregation for all three (overlaps the collective).
+        recv_flat = _ring_exchange(cat, send_steps, axis, d, debug)
+        # 2. Local aggregation for all three (overlaps the permutes).
         outs = []
         for m in range(3):
             l_idx, l_w, h_idx, h_w = tables[4 * m : 4 * m + 4]
@@ -449,7 +485,7 @@ def tri_halo_propagate(tri: TriHaloPartition, xs, mesh: Mesh, axis: str = "nodes
         for p in (p0, p1, p2)
         for t in (p.local_idx, p.local_w, p.halo_idx, p.halo_w)
     )
-    return _run(tri.send_idx, tables, tuple(xs))
+    return _run(tri.send_steps, tables, tuple(xs))
 
 
 @struct.dataclass

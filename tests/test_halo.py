@@ -221,5 +221,9 @@ def test_distributed_graph_carries_tri_operator(toy_fasta):
     g = load_graph(out / "ngram_graph_n2.npz")
     dg = build_distributed_device_graph(g, 4)
     assert isinstance(dg.tri, TriHaloAdj)
-    # All three matrices share one union send set.
-    assert dg.tri.fwd.parts[0].send_idx.shape == dg.tri.fwd.send_idx.shape
+    # All three matrices share one union ring plan.
+    assert len(dg.tri.fwd.send_steps) == 3  # D-1 steps at 4 shards
+    for part in dg.tri.fwd.parts:
+        assert all(
+            a.shape == b.shape for a, b in zip(part.send_steps, dg.tri.fwd.send_steps)
+        )

@@ -269,3 +269,120 @@ def test_cluster_ell_matches_dense_blocks(built_graphs, tmp_path, toy_fasta):
             np.asarray(propagate(d.graph.p_out, xv)),
             np.asarray(propagate(e.graph.p_out, xv)), rtol=1e-5, atol=1e-5,
         )
+
+
+# ---------------------------------------------------------------------------
+# Residency auto-plan (_level_plan): the proven 5-gram configuration must be
+# the automatic one (no hand-set knobs), while toy levels keep torch-parity
+# f32 Adam with no remat.
+# ---------------------------------------------------------------------------
+
+
+class _FakeGraph:
+    """Just enough of NgramGraph for _level_plan (vocab/n/num_nodes)."""
+
+    def __init__(self, vocab, n):
+        self.vocab = np.asarray(vocab)
+        self.n = n
+        self.num_nodes = len(vocab)
+
+
+def _five_gram_stub():
+    # 21-char alphabet (20 AA + boundary space): alpha^5 = 4.08M padded nodes.
+    chars = list("ACDEFGHIKLMNPQRSTVWY ")
+    vocab = ["".join(chars[(i + j) % 21] for j in range(5)) for i in range(21)]
+    return _FakeGraph(np.array(vocab), n=5)
+
+
+def test_level_plan_five_gram_auto_escalates(tmp_path):
+    trainer = HierarchicalTrainer(small_config(tmp_path))
+    trainer.gcn.hidden_layer_dims = [128, 128, 64, 64, 32]
+    trainer._hbm_override = 15 << 30  # one v5e chip
+    plan = trainer._level_plan(_five_gram_stub(), feat_dim=128)
+    assert plan.compute_dtype == "bfloat16"
+    assert plan.node_param_dtype == "bfloat16"
+    assert plan.remat is True
+    assert plan.factored is True
+    assert plan.bank_budget >= trainer._MIN_BANK
+
+
+def test_level_plan_toy_stays_f32(tmp_path, built_graphs):
+    from protgram_directgcn_tpu.graph.structure import load_graph
+
+    trainer = HierarchicalTrainer(small_config(tmp_path))
+    trainer._hbm_override = 15 << 30
+    g = load_graph(built_graphs / "ngram_graph_n2.npz")
+    plan = trainer._level_plan(g, feat_dim=16)
+    assert plan.compute_dtype == "float32"
+    assert plan.node_param_dtype == "float32"
+    assert plan.remat is False
+    assert plan.factored is False
+
+
+def test_level_plan_explicit_knobs_override(tmp_path):
+    trainer = HierarchicalTrainer(
+        small_config(tmp_path, compute_dtype="float32", remat=True)
+    )
+    trainer.gcn.hidden_layer_dims = [128, 128, 64, 64, 32]
+    trainer._hbm_override = 15 << 30
+    plan = trainer._level_plan(_five_gram_stub(), feat_dim=128)
+    assert plan.compute_dtype == "float32"  # explicit knob wins at every tier
+    assert plan.remat is True
+
+
+def test_optimizer_routes_by_name_not_shape():
+    """A dense weight whose fan-in equals the node count must keep Adam
+    (ADVICE r2: shape-collision routing broke torch parity)."""
+    import jax
+    import jax.numpy as jnp
+    from protgram_directgcn_tpu.models.directgcn import (
+        DirectGCNConfig, init_directgcn_params,
+    )
+    from protgram_directgcn_tpu.pipeline.trainer import make_optimizer
+
+    n = 16  # num_nodes == layer width: the collision case
+    cfg = DirectGCNConfig(
+        layer_dims=(16, 16), num_nodes=n, num_classes=4, n_gram_len=2,
+        max_pe_len=0,
+    )
+    params = init_directgcn_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3, 0.0, factor_node_params_above=n)
+    state = opt.init(params)
+    # Two-step probe: step 1 all-ones grads, step 2 all-zero grads.  Adam's
+    # momentum keeps pushing on a zero grad; momentum-free Adafactor stops.
+    ones = jax.tree_util.tree_map(jnp.ones_like, params)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    upd1, state = opt.update(ones, state, params)
+    params1 = __import__("optax").apply_updates(params, upd1)
+    upd2, _ = opt.update(zeros, state, params1)
+    # Dense weights (including the [16, 16] collision case where
+    # fan_in == num_nodes) keep Adam: nonzero momentum update on zero grad.
+    assert np.abs(np.asarray(upd2["layers"][0]["w_main_in"])).max() > 1e-5
+    # Node tables route to momentum-free Adafactor: zero update on zero grad.
+    assert np.abs(np.asarray(upd2["layers"][0]["constant"], np.float32)).max() == 0.0
+    assert np.abs(np.asarray(upd2["layers"][0]["c_in"], np.float32)).max() == 0.0
+
+
+def test_optimizer_state_is_f32_for_bf16_params():
+    """bf16 node params must not get bf16 second moments (they freeze —
+    ADVICE r2); all optimizer state is held f32."""
+    import jax
+    import jax.numpy as jnp
+    from protgram_directgcn_tpu.models.directgcn import (
+        DirectGCNConfig, init_directgcn_params,
+    )
+    from protgram_directgcn_tpu.pipeline.trainer import make_optimizer
+
+    cfg = DirectGCNConfig(
+        layer_dims=(8, 8), num_nodes=32, num_classes=4, n_gram_len=2,
+        max_pe_len=0, node_param_dtype="bfloat16",
+    )
+    params = init_directgcn_params(jax.random.PRNGKey(0), cfg)
+    assert params["layers"][0]["constant"].dtype == jnp.bfloat16
+    for factored in (None, 32):
+        opt = make_optimizer(1e-3, 0.0, factor_node_params_above=factored)
+        state = opt.init(params)
+        for leaf in jax.tree_util.tree_leaves(state):
+            assert getattr(leaf, "dtype", jnp.float32) != jnp.bfloat16, (
+                "optimizer state leaked bf16"
+            )
