@@ -126,16 +126,16 @@ def run_stack(jax, jnp, dg, nh, a_dim, g_dim, tag, layer_dims, epochs):
     from protgram_directgcn_tpu.pipeline.trainer import make_optimizer, make_train_step
 
     num_classes = 32
+    # remat_paths: layer-level remat alone left ~12 concurrent ~1 GB
+    # pipeline buffers live in the rematerialized backward (12.86 GB HLO
+    # temp, the first r3 OOM at 17.75/15.75 GB — see
+    # exp_memwall_r3_oom_lhs_on.log); per-path checkpoints serialize them.
     cfg = DirectGCNConfig(
         layer_dims=layer_dims, num_nodes=nh, num_classes=num_classes,
         n_gram_len=5, one_gram_dim=0, max_pe_len=0, compute_dtype="bfloat16",
-        node_param_dtype="bfloat16", remat=True,
+        node_param_dtype="bfloat16", remat=True, remat_paths=True,
     )
     params = init_directgcn_params(jax.random.PRNGKey(1), cfg)
-    # The latency-hiding scheduler overlaps the per-layer propagation
-    # pipelines' ~1 GB DMA-chain buffers; with it on, peak HLO-temp liveness
-    # measured 12.86 GB and the step misses the chip by 2 GB.  Scheduling
-    # conservatively trades a little overlap for fitting at all.
     lhs_off = {"xla_tpu_enable_latency_hiding_scheduler": "false"}
     # Factored f32 second moments for the per-node tables — the trainer's
     # _level_plan tier-3 pick at this scale (full Adam moments are ~10 GB
@@ -143,7 +143,7 @@ def run_stack(jax, jnp, dg, nh, a_dim, g_dim, tag, layer_dims, epochs):
     opt = make_optimizer(1e-3, 0.0, factor_node_params_above=nh)
     opt_state = opt.init(params)
     step = make_train_step(cfg, opt, 1e-7)
-    if os.environ.get("LHS", "off") == "off":
+    if os.environ.get("LHS") == "off":  # opt-in: measured no liveness change
         lowered = step.lower(
             params, opt_state, dg,
             jax.ShapeDtypeStruct((a_dim, g_dim, layer_dims[0]), jnp.bfloat16),

@@ -311,6 +311,10 @@ def fivegram_scaling_report(
         rates = []
         for d in shard_counts:
             mesh = make_mesh(d, feat_axis=1)
+            # Partition tables ride as JIT ARGUMENTS, not closures: XLA
+            # constant-folds closed-over index tables (a multi-minute
+            # compile at 12.6M edges) and remote backends would ship them
+            # with the compile request.
             if curve == "halo":
                 part = build_halo_partition(src, tgt, val, n, d)
                 x = jnp.asarray(
@@ -320,7 +324,8 @@ def fivegram_scaling_report(
                     dtype=jnp.bfloat16,
                 )
                 x = jax.device_put(x, NamedSharding(mesh, P("nodes", None)))
-                fn = jax.jit(lambda xv: halo_propagate(part, xv, mesh))
+                prop = jax.jit(lambda pt, xv: halo_propagate(pt, xv, mesh))
+                fn = lambda xv: prop(part, xv)  # noqa: E731
                 fetch = lambda o: np.asarray(jax.device_get(o[:1, :1]))  # noqa: E731
                 edges_per_step = nnz
             else:
@@ -343,11 +348,12 @@ def fivegram_scaling_report(
                     for _ in range(3)
                 )
 
-                def tri_fn(xs, _tri=tri, _mesh=mesh):
+                def tri_prop(_tri, xs, _mesh=mesh):
                     with active_mesh(_mesh):
                         return tri_halo_propagate(_tri, xs, _mesh)
 
-                fn = jax.jit(tri_fn)
+                tri_jit = jax.jit(tri_prop)
+                fn = lambda xs: tri_jit(tri, xs)  # noqa: E731
                 fetch = lambda o: np.asarray(jax.device_get(o[0][:1, :1]))  # noqa: E731
                 x = x3
                 edges_per_step = 3 * nnz
@@ -377,11 +383,12 @@ def fivegram_scaling_report(
         )
         x = jax.device_put(x, NamedSharding(mesh, P(None, "nodes", None)))
 
-        def hs_fn(xv, _adj=adj, _mesh=mesh):
+        def hs_prop(_adj, xv, _mesh=mesh):
             with active_mesh(_mesh):
                 return propagate_hyper_shard(_adj, xv)
 
-        fn = jax.jit(hs_fn)
+        hs_jit = jax.jit(hs_prop)
+        fn = lambda xv: hs_jit(adj, xv)  # noqa: E731
         fetch = lambda o: np.asarray(jax.device_get(o[:1, :1, :1]))  # noqa: E731
         best = time_chain(fn, x, fetch)
         rates.append((d, nnz / best))

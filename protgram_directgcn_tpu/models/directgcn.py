@@ -19,6 +19,7 @@ run the literal 6-propagation dataflow for parity checking.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -54,6 +55,15 @@ class DirectGCNConfig:
     # brushes the HBM ceiling (a (128->64)-dim 5-gram step needs ~17.5 GB
     # without remat on a 16 GB chip).
     remat: bool = False
+    # Additionally rematerialise each of the three (projection ->
+    # propagation) paths INSIDE the layer.  With only layer-level remat the
+    # rematerialized backward keeps ~12 concurrent ~1 GB pipeline buffers
+    # live at 5-gram scale (three paths' projections, Pallas operands,
+    # relayouts and transpose-propagations — measured 12.86 GB HLO temp,
+    # experiments/exp_memwall_r3.log OOM); per-path checkpoints let each
+    # path's buffers die before the next path's backward runs, at the price
+    # of one more forward propagation per path.
+    remat_paths: bool = False
     # "bfloat16" runs the dense projections and sparse propagations in bf16
     # (params stay f32; gating/bias/residual math promotes back to f32) —
     # the TPU-native analogue of the reference's CUDA AMP autocast
@@ -215,6 +225,9 @@ def _layer_apply(
                 else (lambda w: w)
             )
             xc = x.astype(ct)
+            if cfg.remat_paths:
+                return _layer_paths_remat(p, graph, xc, cfg, wp, out_dim, f_pad,
+                                          original_indices, use_pallas, ct)
             x_in = xc @ wp(p["w_main_in"] + p["w_shared"]).astype(ct)
             x_out = xc @ wp(p["w_main_out"] + p["w_shared"]).astype(ct)
             x_und = xc @ wp(p["w_und"] + p["w_shared"]).astype(ct)
@@ -266,6 +279,52 @@ def _layer_apply(
             + p["b_und"].astype(ct)
         ) + (propagate(graph.p_und, xs, use_pallas) + p["b_shared_und"].astype(ct))
 
+    return _combine_paths(p, x, ic, oc, uc, original_indices)
+
+
+def _layer_paths_remat(p, graph, xc, cfg, wp, out_dim, f_pad, original_indices,
+                       use_pallas, ct):
+    """rg-layout fused layer with PER-PATH rematerialisation.
+
+    Each (projection -> propagation -> bias) path is its own checkpoint
+    region, chained by optimization barriers: during the layer's backward,
+    path k's ~1 GB pipeline buffers are recomputed, consumed, and DEAD
+    before path k-1's backward begins.  Without this, all three paths'
+    buffers coexist in the rematerialized backward (12.86 GB HLO temp
+    measured at 5-gram scale — the r3 OOM driver).  Graph/weights enter as
+    explicit checkpoint arguments: closed-over constants get COPIED into
+    rematerialized computations by XLA (~1 GB per bank per layer)."""
+    bp = (
+        (lambda b: jnp.pad(b, (0, f_pad - out_dim)))
+        if f_pad != out_dim
+        else (lambda b: b)
+    )
+
+    @functools.partial(jax.checkpoint, static_argnums=())
+    def path_fn(w, b, adj, xv):
+        proj = xv @ wp(w).astype(ct)
+        return propagate(adj, proj, use_pallas) + bp(b).astype(ct)
+
+    ic = path_fn(
+        p["w_main_in"] + p["w_shared"], p["b_main_in"] + p["b_shared_in"],
+        graph.p_in, xc,
+    )
+    xc, ic = jax.lax.optimization_barrier((xc, ic))
+    oc = path_fn(
+        p["w_main_out"] + p["w_shared"], p["b_main_out"] + p["b_shared_out"],
+        graph.p_out, xc,
+    )
+    xc, oc = jax.lax.optimization_barrier((xc, oc))
+    uc = path_fn(
+        p["w_und"] + p["w_shared"], p["b_und"] + p["b_shared_und"],
+        graph.p_und, xc,
+    )
+    return _combine_paths(p, xc, ic, oc, uc, original_indices)
+
+
+def _combine_paths(p, x, ic, oc, uc, original_indices):
+    """Hierarchical gating + per-node constant + exit-slice
+    (reference combine: protgram_directgcn.py:131-135)."""
     (c_in, c_out, c_dir, c_und, c_all), const = _gather_node_params(p, original_indices)
     if x.ndim == 3:
         # rg-layout carry (hypercube graphs): per-node params follow the

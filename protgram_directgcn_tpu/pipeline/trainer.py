@@ -249,6 +249,10 @@ class LevelPlan:
     remat: bool
     factored: bool  # per-node tables use factored Adafactor second moments
     bank_budget: int  # HBM bytes left for the propagation operators
+    # Per-path remat inside each layer: layer-level remat alone leaves ~12
+    # concurrent ~1 GB pipeline buffers live in the rematerialized backward
+    # at 5-gram scale (measured 12.86 GB HLO temp, exp_memwall_r3 OOM).
+    remat_paths: bool = False
 
 
 @dataclass
@@ -439,13 +443,17 @@ class HierarchicalTrainer:
         plan = LevelPlan(
             compute_dtype=cd, node_param_dtype=nd, remat=rm, factored=fc,
             bank_budget=int(budget),
+            # The top tier also remats each layer's three propagation paths:
+            # at 5-gram scale layer-level remat alone measured 12.86 GB of
+            # concurrent backward buffers (exp_memwall_r3 OOM).
+            remat_paths=(chosen_tier >= 3 and rm),
         )
         if chosen_tier > 0:
             logger.info(
                 "level n=%d auto-plan tier %d: compute=%s node_params=%s "
-                "remat=%s factored=%s (residency %.1f+%.1f+%.1f GB of %.1f GB; "
-                "banks get %.1f GB)",
-                graph.n, chosen_tier, cd, nd, rm, fc,
+                "remat=%s remat_paths=%s factored=%s (residency "
+                "%.1f+%.1f+%.1f GB of %.1f GB; banks get %.1f GB)",
+                graph.n, chosen_tier, cd, nd, rm, plan.remat_paths, fc,
                 pb / 2**30, ob / 2**30, ab / 2**30, chip / 2**30, budget / 2**30,
             )
         return plan
@@ -749,6 +757,7 @@ class HierarchicalTrainer:
             compute_dtype=plan.compute_dtype,
             node_param_dtype=plan.node_param_dtype,
             remat=plan.remat,
+            remat_paths=plan.remat_paths,
         )
         params = init_directgcn_params(jax.random.PRNGKey(self.config.random_state + n_val), model_cfg)
         if distributed:

@@ -209,3 +209,51 @@ def test_remat_matches_plain_forward_and_grads(rng):
     gr = jax.grad(lambda p: loss(p, cfg_r))(params)
     for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_remat_paths_matches_plain_on_rg_carry(rng):
+    """cfg.remat_paths (per-path checkpoints in the rg fused layer) changes
+    memory scheduling, not math: forward and grads equal the plain path."""
+    from protgram_directgcn_tpu.graph.builder import NgramGraphBuilder
+    from protgram_directgcn_tpu.graph import transforms
+    from protgram_directgcn_tpu.graph.structure import DeviceGraph
+    from protgram_directgcn_tpu.ops import hypercube
+
+    seqs = [
+        ("P1", "MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ"),
+        ("P2", "MKLVTAYIAKQRRQISFVK"),
+    ]
+    g = NgramGraphBuilder(n_max=2).build_from_sequences(seqs)[1]
+    codes, alpha = hypercube.vocab_char_codes(g.vocab)
+
+    def hyper(m):
+        s, t, v = transforms.csr_to_coo_arrays(m)
+        return hypercube.build_hypercube(s, t, v, codes, alpha)
+
+    p_in = hyper(g.mathcal_a_in())
+    dg = DeviceGraph(
+        p_in=p_in, p_out=hyper(g.mathcal_a_out()), p_und=hyper(g.undirected_norm()),
+        num_nodes=p_in.n_out, node_map=p_in.node_map,
+    )
+    a, gd = p_in.feature_shape
+    base = dict(
+        layer_dims=(16, 24, 8), num_nodes=dg.num_nodes, num_classes=5,
+        n_gram_len=2, max_pe_len=0, dropout=0.0,
+    )
+    cfg = DirectGCNConfig(**base, remat=True)
+    cfg_rp = DirectGCNConfig(**base, remat=True, remat_paths=True)
+    params = init_directgcn_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (a, gd, 16))
+
+    out, _ = directgcn_apply(params, dg, x, cfg, flatten_rg=False)
+    out_rp, _ = directgcn_apply(params, dg, x, cfg_rp, flatten_rg=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_rp), rtol=1e-6)
+
+    def loss(p, c):
+        lo, _ = directgcn_apply(p, dg, x, c, flatten_rg=False)
+        return jnp.sum(lo[..., 0])
+
+    gp = jax.grad(lambda p: loss(p, cfg))(params)
+    gr = jax.grad(lambda p: loss(p, cfg_rp))(params)
+    for a_, b_ in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-7)

@@ -110,6 +110,12 @@ def test_benchmarker_smoke(tmp_path):
     assert "ProtGramDirectGCN" in models
     assert len(models) == 8
     assert all("test_accuracy" in r for r in results)
+    # Provenance stamp rides every row into the CSVs (KarateClub is real).
+    assert all(r["synthetic"] is False for r in results)
+    import pandas as pd
+
+    df = pd.read_csv(tmp_path / "4_benchmarking_results" / "gnn_benchmark_FULL_SUMMARY.csv")
+    assert "synthetic" in df.columns
     assert (tmp_path / "4_benchmarking_results" / "gnn_benchmark_FULL_SUMMARY.csv").exists()
     assert (tmp_path / "4_benchmarking_results" / "KarateClub_Original" / "benchmark_GCN_history.csv").exists()
     assert (tmp_path / "4_benchmarking_results" / "KarateClub_Original" / "GCN_node_embeddings.h5").exists()
