@@ -123,36 +123,32 @@ def run_stack(jax, jnp, dg, nh, a_dim, g_dim, tag, layer_dims, epochs):
         DirectGCNConfig,
         init_directgcn_params,
     )
-    from protgram_directgcn_tpu.pipeline.trainer import make_optimizer, make_train_step
+    from protgram_directgcn_tpu.pipeline.trainer import (
+        make_optimizer,
+        make_train_step_staged,
+    )
 
     num_classes = 32
-    # remat_paths: layer-level remat alone left ~12 concurrent ~1 GB
-    # pipeline buffers live in the rematerialized backward (12.86 GB HLO
-    # temp, the first r3 OOM at 17.75/15.75 GB — see
-    # exp_memwall_r3_oom_lhs_on.log); per-path checkpoints serialize them.
+    # The trainer's _level_plan tier-4 configuration for this scale: bf16
+    # compute + bf16 node params, per-layer AND per-path remat, factored f32
+    # node moments, and the LAYER-STAGED step.  The fused single-jit step
+    # measured 16.1-18.3 GB across four scheduling variants
+    # (exp_memwall_r3_oom_lhs_on.log and git history of this file) — on a
+    # 15.75 GB chip the full backward cannot be held in one XLA program at
+    # this scale; staging bounds each program to half the saves+grads.
     cfg = DirectGCNConfig(
         layer_dims=layer_dims, num_nodes=nh, num_classes=num_classes,
         n_gram_len=5, one_gram_dim=0, max_pe_len=0, compute_dtype="bfloat16",
         node_param_dtype="bfloat16", remat=True, remat_paths=True,
     )
     params = init_directgcn_params(jax.random.PRNGKey(1), cfg)
-    lhs_off = {"xla_tpu_enable_latency_hiding_scheduler": "false"}
-    # Factored f32 second moments for the per-node tables — the trainer's
-    # _level_plan tier-3 pick at this scale (full Adam moments are ~10 GB
-    # f32 of the 15.75 GB chip).
-    opt = make_optimizer(1e-3, 0.0, factor_node_params_above=nh)
-    opt_state = opt.init(params)
-    step = make_train_step(cfg, opt, 1e-7)
-    if os.environ.get("LHS") == "off":  # opt-in: measured no liveness change
-        lowered = step.lower(
-            params, opt_state, dg,
-            jax.ShapeDtypeStruct((a_dim, g_dim, layer_dims[0]), jnp.bfloat16),
-            jax.ShapeDtypeStruct((nh,), jnp.int32),
-            jax.ShapeDtypeStruct((nh,), jnp.float32),
-            jnp.float32(1.0), jax.random.PRNGKey(0), None,
-        )
-        step = lowered.compile(compiler_options=lhs_off)
-        log(f"{tag}: compiled with {lhs_off}")
+    split = (len(layer_dims)) // 2
+    step = make_train_step_staged(
+        cfg, lambda: make_optimizer(1e-3, 0.0, factor_node_params_above=nh),
+        1e-7, split=split,
+    )
+    opt_state = step.init_opt_state(params)
+    log(f"{tag}: staged step, split at layer {split}")
     param_bytes = sum(
         a.nbytes for a in jax.tree_util.tree_leaves(params) if hasattr(a, "nbytes")
     )

@@ -40,16 +40,20 @@ OUT = "/root/repo/artifacts/results_r03"
 def make_corpus(rng, n_families=12, per_family=25):
     """Family-structured proteins + interaction pairs."""
     motifs = {
-        fam: ["".join(rng.choice(list(AA), rng.integers(8, 13))) for _ in range(3)]
+        fam: ["".join(rng.choice(list(AA), rng.integers(12, 19))) for _ in range(4)]
         for fam in range(n_families)
     }
     proteins = []  # (id, seq, family)
     for fam in range(n_families):
         for j in range(per_family):
-            backbone = "".join(rng.choice(list(AA), rng.integers(80, 200)))
-            # Insert 2-3 of the family's motifs at random positions.
+            # ~45% of residues are family motifs (half the positions carry
+            # the family signal after pooling), the rest random backbone —
+            # enough for composition/structure embedders to separate
+            # families, while random pairs within a family keep the task
+            # non-trivial.
+            backbone = "".join(rng.choice(list(AA), rng.integers(60, 120)))
             seq = backbone
-            for m in rng.permutation(motifs[fam])[: rng.integers(2, 4)]:
+            for m in rng.permutation(motifs[fam])[: rng.integers(3, 5)]:
                 pos = int(rng.integers(0, len(seq)))
                 seq = seq[:pos] + m + seq[pos:]
             proteins.append((f"F{fam:02d}P{j:03d}", seq, fam))
@@ -105,8 +109,8 @@ def main():
     cfg.gcn.pca_target_dim = 64
     cfg.word2vec.epochs = 5
     cfg.eval.n_folds = 5
-    cfg.eval.epochs = 60
-    cfg.eval.early_stopping_patience = 8
+    cfg.eval.epochs = 150
+    cfg.eval.early_stopping_patience = 10
 
     # --- stage 1+2: graph -> hierarchical DirectGCN -> pooled embeddings ---
     from protgram_directgcn_tpu.graph.builder import NgramGraphBuilder

@@ -286,40 +286,132 @@ def _layer_paths_remat(p, graph, xc, cfg, wp, out_dim, f_pad, original_indices,
                        use_pallas, ct):
     """rg-layout fused layer with PER-PATH rematerialisation.
 
-    Each (projection -> propagation -> bias) path is its own checkpoint
-    region, chained by optimization barriers: during the layer's backward,
-    path k's ~1 GB pipeline buffers are recomputed, consumed, and DEAD
-    before path k-1's backward begins.  Without this, all three paths'
-    buffers coexist in the rematerialized backward (12.86 GB HLO temp
-    measured at 5-gram scale — the r3 OOM driver).  Graph/weights enter as
-    explicit checkpoint arguments: closed-over constants get COPIED into
-    rematerialized computations by XLA (~1 GB per bank per layer)."""
+    Each (projection -> propagation -> bias -> GATE) path is its own
+    checkpoint region, chained by optimization barriers, and the combine is
+    restructured distributively:
+
+        out = (c_all·c_dir·c_in)·IC + (c_all·c_dir·c_out)·OC
+            + (c_all·c_und)·UC + const
+
+    Folding the gate product INTO each path's checkpoint matters: with the
+    gates applied after the paths, the backward needs all three propagated
+    outputs simultaneously for the gate gradients (3 x ~1 GB at 5-gram
+    scale — with layer-level remat alone the step measured 12.86 GB HLO
+    temp, and with per-path remat but post-hoc gating still 10.91 GB, 56 MB
+    over the chip).  Inside the checkpoints, each path's output is
+    recomputed for its own gate gradient and DEAD before the next path's
+    backward runs.  Graph/weights enter as explicit checkpoint arguments:
+    closed-over constants get COPIED into rematerialized computations by
+    XLA (~1 GB per bank per layer)."""
     bp = (
         (lambda b: jnp.pad(b, (0, f_pad - out_dim)))
         if f_pad != out_dim
         else (lambda b: b)
     )
 
-    @functools.partial(jax.checkpoint, static_argnums=())
-    def path_fn(w, b, adj, xv):
-        proj = xv @ wp(w).astype(ct)
-        return propagate(adj, proj, use_pallas) + bp(b).astype(ct)
+    (c_in, c_out, c_dir, c_und, c_all), const = _gather_node_params(p, original_indices)
+    lead = xc.shape[:2]
+    reshape3 = lambda t: (  # noqa: E731
+        t.reshape(lead + t.shape[-1:]) if getattr(t, "ndim", 0) == 2 else t
+    )
+    # Per-path gate products (f32 per-node math, tiny [A, G, 1] tensors).
+    gate_in = reshape3(c_dir * c_all * c_in)
+    gate_out = reshape3(c_dir * c_all * c_out)
+    gate_und = reshape3(c_und * c_all)
+    const = reshape3(const)
+    if getattr(const, "ndim", 0) == 3 and const.shape[-1] != f_pad:
+        const = jnp.pad(const, ((0, 0), (0, 0), (0, f_pad - const.shape[-1])))
 
-    ic = path_fn(
+    path_contrib = _make_path_contrib(wp, bp, out_dim, ct, use_pallas)
+
+    acc = path_contrib(
         p["w_main_in"] + p["w_shared"], p["b_main_in"] + p["b_shared_in"],
-        graph.p_in, xc,
+        gate_in, graph.p_in, xc,
     )
-    xc, ic = jax.lax.optimization_barrier((xc, ic))
-    oc = path_fn(
+    xc, acc = jax.lax.optimization_barrier((xc, acc))
+    acc = acc + path_contrib(
         p["w_main_out"] + p["w_shared"], p["b_main_out"] + p["b_shared_out"],
-        graph.p_out, xc,
+        gate_out, graph.p_out, xc,
     )
-    xc, oc = jax.lax.optimization_barrier((xc, oc))
-    uc = path_fn(
+    xc, acc = jax.lax.optimization_barrier((xc, acc))
+    acc = acc + path_contrib(
         p["w_und"] + p["w_shared"], p["b_und"] + p["b_shared_und"],
-        graph.p_und, xc,
+        gate_und, graph.p_und, xc,
     )
-    return _combine_paths(p, xc, ic, oc, uc, original_indices)
+    out = acc + const
+    if out.shape[-1] != out_dim:
+        out = out[..., :out_dim]  # restore the logical width at the exit
+    return out
+
+
+def _zeros_cotangent(tree):
+    """Zero cotangents for a (constant) adjacency pytree: float leaves get
+    zeros, integer index tables get float0 (the JAX convention)."""
+    import numpy as _np
+
+    return jax.tree_util.tree_map(
+        lambda a: _np.zeros(a.shape, dtype=jax.dtypes.float0)
+        if jnp.issubdtype(a.dtype, jnp.integer)
+        else jnp.zeros_like(a),
+        tree,
+    )
+
+
+def _make_path_contrib(wp, bp, out_dim, ct, use_pallas):
+    """One gated propagation path with a MANUAL, memory-bounded VJP.
+
+    Forward: ``gate * (propagate(adj, x @ w) + b)``.  The backward saves
+    only the inputs (checkpoint semantics) and — critically — runs its two
+    propagation pipelines SEQUENTIALLY: first the forward recompute (needed
+    for the gate gradient), then, behind an optimization barrier, the
+    transpose propagation of the cotangent.  `jax.checkpoint` nesting
+    cannot enforce this: XLA overlaps the two pipelines' DMA chains, and at
+    5-gram scale each pipeline holds 3-4 ~1 GB buffers — the measured
+    12-15 GB HLO-temp peaks across every scheduling variant of
+    experiments/exp_memwall_r3*.  Adjacency weights get zero cotangents
+    here (this path targets the memory-bound training mode; opt-in SDDMM
+    lives on the standard propagate VJPs, ops/spmm.edge_gradients)."""
+
+    @jax.custom_vjp
+    def pc(w, b, gate, adj, xv):
+        proj = xv @ wp(w).astype(ct)
+        return gate.astype(ct) * (propagate(adj, proj, use_pallas) + bp(b).astype(ct))
+
+    def pc_fwd(w, b, gate, adj, xv):
+        return pc(w, b, gate, adj, xv), (w, b, gate, adj, xv)
+
+    def pc_bwd(res, g):
+        w, b, gate, adj, xv = res
+        wc = wp(w).astype(ct)
+        proj = xv @ wc
+        # Pipeline A: forward recompute (for the gate/bias gradients).
+        y, vjp_prop = jax.vjp(lambda pr: propagate(adj, pr, use_pallas), proj)
+        yb = y + bp(b).astype(ct)
+        gf = gate.astype(ct)
+        prod = (g * yb).astype(jnp.float32)
+        if getattr(gate, "ndim", 0) == 3:  # per-node [A, G, 1]
+            dgate = jnp.sum(prod, axis=-1, keepdims=True).astype(gate.dtype)
+        else:  # scalar gate
+            dgate = jnp.sum(prod).reshape(gate.shape).astype(gate.dtype)
+        dprop = gf * g
+        db_pad = jnp.sum(
+            dprop.astype(jnp.float32), axis=tuple(range(dprop.ndim - 1))
+        )
+        db = db_pad[:out_dim].astype(b.dtype)
+        # Serialize: pipeline B (the transpose propagation) must not launch
+        # until pipeline A's consumers are done, or both pipelines' ~1 GB
+        # buffers coexist.
+        dprop, dgate, db = jax.lax.optimization_barrier((dprop, dgate, db))
+        (dproj,) = vjp_prop(dprop)
+        dw_pad = jnp.einsum(
+            "...i,...o->io", xv.astype(ct), dproj, preferred_element_type=jnp.float32
+        )
+        dw = dw_pad[:, :out_dim].astype(w.dtype)
+        dxv = jnp.einsum("...o,io->...i", dproj, wc)
+        return (dw, db, dgate, _zeros_cotangent(adj), dxv)
+
+    pc.defvjp(pc_fwd, pc_bwd)
+    return pc
 
 
 def _combine_paths(p, x, ic, oc, uc, original_indices):
@@ -350,6 +442,120 @@ def _combine_paths(p, x, ic, oc, uc, original_indices):
         # Restore the logical width once at the exit (padded-width layer).
         out = out[..., : p["w_main_in"].shape[1]]
     return out
+
+
+def pack_rg_carry(t: jnp.ndarray, active: bool = True) -> jnp.ndarray:
+    """Pack a sub-128-lane rg carry [A, G, F] to full 128-lane rows
+    [A, ceil(G/(128/F)), 128].
+
+    A [A, G, 64] bf16 carry physically occupies the 128-lane tile footprint
+    (997 MB at 5-gram scale, 2x its logical bytes; 4x for 32-wide); packed,
+    a SAVED or jit-boundary buffer is its logical size.  The reshape is a
+    bandwidth-rate relayout copy (~2 ms at 5-gram scale)."""
+    if not active or t.ndim != 3:
+        return t
+    a, g, f = t.shape
+    if f >= 128 or 128 % f != 0:
+        return t
+    k = 128 // f
+    gp = -(-g // k) * k
+    if gp != g:
+        t = jnp.pad(t, ((0, 0), (0, gp - g), (0, 0)))
+    return t.reshape(a, gp // k, 128)
+
+
+def unpack_rg_carry(t: jnp.ndarray, f: int, g_real: int) -> jnp.ndarray:
+    """Inverse of :func:`pack_rg_carry` (no-op on unpacked carries)."""
+    if t.ndim != 3 or t.shape[-1] == f:
+        return t
+    k = 128 // f
+    return t.reshape(t.shape[0], t.shape[1] * k, f)[:, :g_real, :]
+
+
+def apply_layer_range(
+    params: Params,
+    graph: DeviceGraph,
+    h: jnp.ndarray,
+    cfg: DirectGCNConfig,
+    start: int,
+    stop: int,
+    *,
+    train: bool,
+    drop_keys,
+    original_indices=None,
+    rg_lead: Optional[Tuple[int, int]] = None,
+) -> jnp.ndarray:
+    """Run GCN layers [start, stop) on a flat or rg carry.
+
+    The carry convention between layers (and across staged-step jit
+    boundaries, pipeline/trainer.make_train_step_staged): packed via
+    :func:`pack_rg_carry` whenever ``cfg.remat_paths`` and the carry is rg —
+    callers slicing the layer range hand over/receive packed carries for
+    sub-128 widths.  ``drop_keys`` must be the FULL net's key list (one per
+    layer, derived from one rng) so staged and fused execution drop the same
+    units."""
+    ct = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    pack = cfg.remat_paths and rg_lead is not None
+
+    # ``graph`` is an explicit argument (not a closure) of the checkpointed
+    # block: closed-over constants get COPIED into the rematerialized
+    # computation by XLA (a ~1 GB copy PER BANK per layer at 5-gram scale),
+    # while explicit inputs are referenced in place.
+    def layer_block(layer_p, rp, gg, hh, drop_key):
+        if pack and hh.ndim == 3:
+            hh = unpack_rg_carry(hh, layer_p["w_main_in"].shape[0], rg_lead[1])
+        gcn_out = _layer_apply(layer_p, gg, hh, cfg, original_indices)
+        # Residual weights are f32 params: cast to the carry dtype so the
+        # projection (and everything downstream of the add) stays bf16
+        # under bf16 compute instead of promoting the whole layer tail.
+        res_out = (
+            hh if rp is None
+            else hh @ rp["w"].astype(hh.dtype) + rp["b"].astype(hh.dtype)
+        )
+        out = jax.nn.leaky_relu(gcn_out + res_out, negative_slope=cfg.leaky_relu_slope)
+        # Dropout INSIDE the (possibly remat'd) block: the bernoulli mask is
+        # recomputed on backward instead of being saved per layer — at
+        # 5-gram hypercube scale each saved mask is ~0.5 GB.
+        if train and drop_key is not None and cfg.dropout > 0:
+            keep = 1.0 - cfg.dropout
+            mask = jax.random.bernoulli(drop_key, keep, out.shape)
+            out = jnp.where(mask, out / keep, 0.0)
+        # bf16 inter-layer carry under bf16 compute: the next layer casts to
+        # bf16 anyway, and the saved-for-backward activation halves (the
+        # backward-saved f32 copies were the largest OOM allocations at
+        # 5-gram scale — see experiments/exp_memwall_r2.py).
+        out = out.astype(ct) if ct is not None else out
+        return pack_rg_carry(out, pack)
+
+    if cfg.remat:
+        layer_block = jax.checkpoint(layer_block, static_argnums=())
+
+    for i in range(start, stop):
+        h = layer_block(params["layers"][i], params["res_projs"][i], graph, h, drop_keys[i])
+    return h
+
+
+def apply_decoder(
+    dec_p: Params, h: jnp.ndarray, cfg: DirectGCNConfig, *, train: bool, drop_key
+) -> jnp.ndarray:
+    """The 2-layer decoder head (reference: protgram_directgcn.py:173-180).
+
+    Runs in the carry dtype: at 5-gram hypercube scale each f32 [A, G, ·]
+    decoder buffer lane-pads to ~2 GB (64- and 32-wide heads pad to 128
+    lanes regardless of dtype — bf16 halves the bytes).  Under cfg.remat
+    only ``h`` is saved for the backward."""
+
+    def block(dp, hh, key):
+        z = jax.nn.relu(hh @ dp["w1"].astype(hh.dtype) + dp["b1"].astype(hh.dtype))
+        if train and key is not None and cfg.decoder_dropout > 0:
+            keep = 1.0 - cfg.decoder_dropout
+            mask = jax.random.bernoulli(key, keep, z.shape)
+            z = jnp.where(mask, z / keep, 0.0)
+        return z @ dp["w2"].astype(z.dtype) + dp["b2"].astype(z.dtype)
+
+    if cfg.remat:
+        block = jax.checkpoint(block)
+    return block(dec_p, h, drop_key)
 
 
 def _apply_pe(params: Params, x: jnp.ndarray, cfg: DirectGCNConfig) -> jnp.ndarray:
@@ -411,51 +617,15 @@ def directgcn_apply(
     else:
         drop_keys = [None] * (n_layers + 1)
 
-    ct = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    h = apply_layer_range(
+        params, graph, h, cfg, 0, n_layers,
+        train=train, drop_keys=drop_keys, original_indices=original_indices,
+        rg_lead=rg_lead,
+    )
+    if h.ndim == 3:
+        h = unpack_rg_carry(h, cfg.layer_dims[-1], rg_lead[1])
 
-    # ``graph`` is an explicit argument (not a closure) of the checkpointed
-    # block: closed-over constants get COPIED into the rematerialized
-    # computation by XLA (a ~1 GB copy PER BANK per layer at 5-gram scale),
-    # while explicit inputs are referenced in place.
-    def layer_block(layer_p, rp, gg, hh, drop_key):
-        gcn_out = _layer_apply(layer_p, gg, hh, cfg, original_indices)
-        # Residual weights are f32 params: cast to the carry dtype so the
-        # projection (and everything downstream of the add) stays bf16
-        # under bf16 compute instead of promoting the whole layer tail.
-        res_out = (
-            hh if rp is None
-            else hh @ rp["w"].astype(hh.dtype) + rp["b"].astype(hh.dtype)
-        )
-        out = jax.nn.leaky_relu(gcn_out + res_out, negative_slope=cfg.leaky_relu_slope)
-        # Dropout INSIDE the (possibly remat'd) block: the bernoulli mask is
-        # recomputed on backward instead of being saved per layer — at
-        # 5-gram hypercube scale each saved mask is ~0.5 GB.
-        if train and drop_key is not None and cfg.dropout > 0:
-            keep = 1.0 - cfg.dropout
-            mask = jax.random.bernoulli(drop_key, keep, out.shape)
-            out = jnp.where(mask, out / keep, 0.0)
-        # bf16 inter-layer carry under bf16 compute: the next layer casts to
-        # bf16 anyway, and the saved-for-backward activation halves (the
-        # backward-saved f32 copies were the largest OOM allocations at
-        # 5-gram scale — see experiments/exp_memwall_r2.py).
-        return out.astype(ct) if ct is not None else out
-
-    if cfg.remat:
-        layer_block = jax.checkpoint(layer_block, static_argnums=())
-
-    for i in range(n_layers):
-        h = layer_block(params["layers"][i], params["res_projs"][i], graph, h, drop_keys[i])
-
-    dec = params["decoder"]
-    # Decoder in the carry dtype: at 5-gram hypercube scale each f32
-    # [A, G, ·] decoder buffer lane-pads to ~2 GB (64- and 32-wide heads
-    # pad to 128 lanes regardless of dtype — bf16 halves the bytes).
-    z = jax.nn.relu(h @ dec["w1"].astype(h.dtype) + dec["b1"].astype(h.dtype))
-    if train and drop_keys[-1] is not None and cfg.decoder_dropout > 0:
-        keep = 1.0 - cfg.decoder_dropout
-        mask = jax.random.bernoulli(drop_keys[-1], keep, z.shape)
-        z = jnp.where(mask, z / keep, 0.0)
-    logits = z @ dec["w2"].astype(z.dtype) + dec["b2"].astype(z.dtype)
+    logits = apply_decoder(params["decoder"], h, cfg, train=train, drop_key=drop_keys[-1])
 
     h32 = h.astype(jnp.float32)
     norm = jnp.linalg.norm(h32, axis=-1, keepdims=True)

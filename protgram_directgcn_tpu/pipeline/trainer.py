@@ -24,7 +24,7 @@ import functools
 import os
 import time
 from dataclasses import dataclass
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -234,6 +234,191 @@ def make_train_step(model_cfg: DirectGCNConfig, opt: optax.GradientTransformatio
     return step
 
 
+def set_learning_rate(opt_state, lr: float):
+    """Plateau-scheduler hook that works for both the fused step's single
+    inject_hyperparams state and the staged step's (head, tail) pair."""
+    lr = jnp.asarray(lr)
+    if isinstance(opt_state, StagedOptState):
+        opt_state.head.hyperparams["learning_rate"] = lr
+        opt_state.tail.hyperparams["learning_rate"] = lr
+    else:
+        opt_state.hyperparams["learning_rate"] = lr
+
+
+class StagedOptState(NamedTuple):
+    """Optimizer state pair for the layer-staged train step (a pytree, so
+    orbax checkpointing and tree_map over it keep working)."""
+
+    head: Any
+    tail: Any
+
+
+def make_train_step_staged(
+    model_cfg: DirectGCNConfig,
+    make_opt,
+    l2_lambda: float,
+    split: int,
+):
+    """Layer-staged training step: same numerics as :func:`make_train_step`,
+    executed as FIVE jits so no single XLA program holds the full backward.
+
+    The fused 4-layer step at 5-gram scale needs ~13 GB of HLO temps on top
+    of ~5 GB of resident arguments — over a 16 GB v5e no matter how the
+    backward is rematerialized (measured across four scheduling variants,
+    experiments/exp_memwall_r3*.log).  Splitting at a layer boundary bounds
+    the peak: each stage's program sees only its own half's saved carries,
+    backward workspace, and gradients, and each half's OPTIMIZER UPDATE
+    runs before the other half's backward so gradients never accumulate
+    across stages:
+
+        1. head_fwd:   layers [0, split) forward (no autodiff residuals)
+        2. tail_grad:  layers [split, L) + decoder + loss; grads w.r.t.
+                       tail params AND the boundary carry
+        3. tail_update (donates tail params/opt/grads)
+        4. head_grad:  vjp of the head forward applied to the carry
+                       cotangent (cross-jit remat: the head forward runs
+                       twice per step)
+        5. head_update (donates head params/opt/grads)
+
+    ``make_opt`` is a zero-arg factory (each half owns an optimizer state;
+    Adam/Adafactor updates are per-leaf, so per-half updates are identical
+    to the fused step's).  Torch-parity L2-in-gradient is applied
+    analytically (d/dp of l2_lambda*sum(p^2) = 2*l2_lambda*p).  Dropout
+    keys derive from ONE rng exactly as in the fused step.  Requires
+    one_gram_dim == 0 (no PE table; the staged path targets deep n>=2
+    levels)."""
+    from protgram_directgcn_tpu.models.directgcn import (
+        apply_decoder,
+        apply_layer_range,
+        unpack_rg_carry,
+    )
+
+    assert model_cfg.one_gram_dim == 0, "staged step does not support PE levels"
+    n_layers = len(model_cfg.layer_dims) - 1
+    assert 0 < split < n_layers, (split, n_layers)
+    opt_head = make_opt()
+    opt_tail = make_opt()
+
+    def _rg_lead(graph):
+        return getattr(graph.p_in, "feature_shape", None)
+
+    def _keys(rng):
+        return jax.random.split(rng, n_layers + 1)
+
+    def _head_params(params):
+        return {"layers": params["layers"][:split], "res_projs": params["res_projs"][:split]}
+
+    def _tail_params(params):
+        return {
+            "layers": params["layers"][split:],
+            "res_projs": params["res_projs"][split:],
+            "decoder": params["decoder"],
+        }
+
+    def _l2(tree):
+        return sum(
+            jnp.sum(jnp.square(p.astype(jnp.float32)))
+            for p in jax.tree_util.tree_leaves(tree)
+        )
+
+    def _add_l2_grads(grads, params):
+        # Matches the fused step's autodiff of l2_lambda * sum(p.astype(f32)^2).
+        return jax.tree_util.tree_map(
+            lambda g, p: (
+                g.astype(jnp.float32) + 2.0 * l2_lambda * p.astype(jnp.float32)
+            ).astype(g.dtype),
+            grads, params,
+        )
+
+    @jax.jit
+    def head_fwd(ph, graph, x, rng):
+        lead = _rg_lead(graph)
+        return apply_layer_range(
+            ph, graph, x, model_cfg, 0, split,
+            train=True, drop_keys=_keys(rng), rg_lead=lead,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def tail_grad(pt, graph, carry, y, mask, weight_factor, rng):
+        lead = _rg_lead(graph)
+        keys = _keys(rng)
+
+        def loss_fn(ptv, cv):
+            h = apply_layer_range(
+                ptv, graph, cv, model_cfg, 0, n_layers - split,
+                train=True, drop_keys=keys[split:], rg_lead=lead,
+            )
+            if h.ndim == 3 and lead is not None:
+                h = unpack_rg_carry(h, model_cfg.layer_dims[-1], lead[1])
+            logits = apply_decoder(ptv["decoder"], h, model_cfg, train=True, drop_key=keys[-1])
+            log_sm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+            yv, mv = y, mask
+            if log_sm.ndim == 3:
+                yv = yv.reshape(log_sm.shape[:2])
+                mv = mv.reshape(log_sm.shape[:2])
+            per_node = -jnp.take_along_axis(log_sm, yv[..., None], axis=-1)[..., 0]
+            denom = jnp.maximum(mv.sum(), 1.0)
+            primary = jnp.sum(per_node * mv) / denom
+            return primary * weight_factor, primary
+
+        (loss_p, primary), (g_tail, g_carry) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(pt, carry)
+        g_tail = _add_l2_grads(g_tail, pt)
+        return g_tail, g_carry, loss_p, primary, _l2(pt)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def tail_update(pt, opt_state, g_tail):
+        updates, opt_state = opt_tail.update(g_tail, opt_state, pt)
+        return optax.apply_updates(pt, updates), opt_state
+
+    @functools.partial(jax.jit, donate_argnums=(3,))
+    def head_grad(ph, graph, x, g_carry, rng):
+        lead = _rg_lead(graph)
+
+        def f(phv):
+            return apply_layer_range(
+                phv, graph, x, model_cfg, 0, split,
+                train=True, drop_keys=_keys(rng), rg_lead=lead,
+            )
+
+        _, vjp = jax.vjp(f, ph)
+        (g_head,) = vjp(g_carry)
+        return _add_l2_grads(g_head, ph), _l2(ph)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def head_update(ph, opt_state, g_head):
+        updates, opt_state = opt_head.update(g_head, opt_state, ph)
+        return optax.apply_updates(ph, updates), opt_state
+
+    def init_opt_state(params):
+        return StagedOptState(
+            head=opt_head.init(_head_params(params)),
+            tail=opt_tail.init(_tail_params(params)),
+        )
+
+    def step(params, opt_state, graph, x, y, mask, weight_factor, rng, original_indices):
+        assert original_indices is None, "staged step is full-batch only"
+        ph, pt = _head_params(params), _tail_params(params)
+        carry = head_fwd(ph, graph, x, rng)
+        g_tail, g_carry, loss_p, primary, l2_t = tail_grad(
+            pt, graph, carry, y, mask, weight_factor, rng
+        )
+        pt, tail_state = tail_update(pt, opt_state.tail, g_tail)
+        g_head, l2_h = head_grad(ph, graph, x, g_carry, rng)
+        ph, head_state = head_update(ph, opt_state.head, g_head)
+        params = {
+            "layers": list(ph["layers"]) + list(pt["layers"]),
+            "res_projs": list(ph["res_projs"]) + list(pt["res_projs"]),
+            "decoder": pt["decoder"],
+        }
+        loss = loss_p + l2_lambda * (l2_h + l2_t)
+        return params, StagedOptState(head=head_state, tail=tail_state), loss, primary
+
+    step.init_opt_state = init_opt_state
+    return step
+
+
 # Auto-select the gather-free hypercube SpMM format when the padded node
 # space [alphabet^n] stays within this multiple of the real vocabulary
 # (see ops/hypercube.py for the bandwidth model behind the threshold).
@@ -253,6 +438,10 @@ class LevelPlan:
     # concurrent ~1 GB pipeline buffers live in the rematerialized backward
     # at 5-gram scale (measured 12.86 GB HLO temp, exp_memwall_r3 OOM).
     remat_paths: bool = False
+    # > 0: run the layer-staged train step split at this layer boundary
+    # (make_train_step_staged) — no single XLA program holds the full
+    # backward.  0 = the fused single-jit step.
+    stage_split: int = 0
 
 
 @dataclass
@@ -354,16 +543,26 @@ class HierarchicalTrainer:
     def _residency(
         self, n_hyper: int, feat_dim: int,
         compute_dtype: str, node_param_dtype: str, remat: bool, factored: bool,
+        remat_paths: bool = False, staged: bool = False,
     ) -> Tuple[int, int, int]:
-        """(param_bytes, opt_state_bytes, activation_bytes) estimate for one
-        full-batch training step at ``n_hyper`` padded nodes.
+        """(param_bytes, opt_state_bytes, dynamic_bytes) estimate for one
+        full-batch training step at ``n_hyper`` padded nodes, calibrated
+        against the measured 5-gram compiles (experiments/exp_memwall_r3*).
 
         Per-node params are the gates + constants
         (reference: protgram_directgcn.py:48-66).  Optimizer state is ALWAYS
         f32 (trainer _f32_state); Adafactor factors a leaf only when both
         dims reach _FACTOR_MIN_DIM, so the [N, out] constants factor to
-        row+col vectors while the [N, 1] gates keep full f32 v (tiny mu-free
-        Adafactor state, ~4·N bytes each)."""
+        row+col vectors while the [N, 1] gates keep full f32 v.
+
+        dynamic_bytes = saved carries + backward workspace + in-flight
+        node-parameter gradients:
+        - carries pad to 128 lanes unless remat_paths packs sub-128 widths;
+        - the backward workspace is ~6 concurrent full-width buffers (the
+          deepest path's recompute pipeline + cotangents, measured);
+        - node grads pad to 128 lanes and stay live until the optimizer
+          update — the whole point of the staged step (tier 4) is that only
+          HALF of the saves+grads exist per stage."""
         out_dims = list(self.gcn.hidden_layer_dims)
         node_itm = 2 if node_param_dtype == "bfloat16" else 4
         act_itm = 2 if compute_dtype == "bfloat16" else 4
@@ -378,20 +577,22 @@ class HierarchicalTrainer:
             )
         else:
             opt_b = 2 * 4 * (elems_const + elems_gate)  # f32 Adam mu + nu
-        # Saved-for-backward activations: with remat one carry per layer;
-        # without it each layer additionally saves its three propagated
-        # paths.  Lane dims pad to 128 on device; the input carry and one
-        # gradient-workspace carry are counted alongside the layer outputs.
         pad = lambda d: max(128, -(-d // 128) * 128)  # noqa: E731
+        packed = lambda d: d if (remat_paths and d < 128 and 128 % d == 0) else pad(d)  # noqa: E731
         per_layer = 1 if remat else 3
-        lanes = pad(feat_dim) + per_layer * sum(pad(d) for d in out_dims) + pad(out_dims[-1])
-        acts_b = lanes * n_hyper * act_itm
-        return param_b, opt_b, acts_b
+        saves = (
+            pad(feat_dim) + per_layer * sum(packed(d) for d in out_dims)
+        ) * n_hyper * act_itm
+        grads = sum(pad(d) for d in out_dims) * n_hyper * act_itm
+        workspace = 6 * n_hyper * pad(max(out_dims + [feat_dim])) * act_itm
+        if staged:
+            saves, grads = saves // 2, grads // 2
+        return param_b, opt_b, saves + grads + workspace
 
-    # Workspace slack the residency tiers must leave free (transient grads,
-    # collectives, compiled-step scratch), and the floor the weight banks
-    # always get.
-    _PLAN_SLACK = 4 << 30
+    # Slack the residency tiers must leave free (collectives, fragmentation,
+    # compiled-step scratch beyond the modeled workspace), and the floor the
+    # weight banks always get.
+    _PLAN_SLACK = 1 << 30
     _MIN_BANK = 2 << 30
 
     def _level_plan(self, graph: NgramGraph, feat_dim: int) -> "LevelPlan":
@@ -402,8 +603,10 @@ class HierarchicalTrainer:
         Escalation tiers, first that fits the chip wins:
           0. f32 compute, f32 node params, no remat, Adam   (torch parity)
           1. tier 0 + remat
-          2. bf16 compute + bf16 node params + remat        (proven 5-gram)
-          3. tier 2 + factored node-param second moments
+          2. bf16 compute + bf16 node params + remat
+          3. tier 2 + factored node moments + per-path remat
+          4. tier 3 + the LAYER-STAGED step (proven 5-gram 4-layer config:
+             no single XLA program holds the full backward)
         Explicit knob settings ("float32"/"bfloat16"/bool/"on"/"off")
         override the corresponding tier field at every tier."""
         from protgram_directgcn_tpu.ops.hypercube import vocab_char_codes
@@ -412,12 +615,15 @@ class HierarchicalTrainer:
         _, alpha = vocab_char_codes(graph.vocab)
         n_hyper = int(alpha) ** graph.n if alpha else graph.num_nodes
         chip = self._chip_hbm()
+        n_layers = len(gcn.hidden_layer_dims)
 
         def resolve(tier: int):
             cd = "float32" if tier < 2 else "bfloat16"
             nd = "float32" if tier < 2 else "bfloat16"
             rm = tier >= 1
             fc = tier >= 3
+            rp = tier >= 3 and rm
+            split = (n_layers + 1) // 2 if (tier >= 4 and n_layers >= 2) else 0
             if gcn.compute_dtype != "auto":
                 cd = gcn.compute_dtype
             if gcn.node_param_dtype != "auto":
@@ -428,33 +634,34 @@ class HierarchicalTrainer:
                 fc = True
             elif gcn.node_param_factored == "off":
                 fc = False
-            return cd, nd, rm, fc
+            return cd, nd, rm, fc, rp, split
 
-        chosen_tier = 3
-        for tier in range(4):
-            cd, nd, rm, fc = resolve(tier)
-            pb, ob, ab = self._residency(n_hyper, feat_dim, cd, nd, rm, fc)
-            if pb + ob + ab + self._PLAN_SLACK + self._MIN_BANK <= chip:
+        chosen_tier = 4
+        for tier in range(5):
+            cd, nd, rm, fc, rp, split = resolve(tier)
+            pb, ob, db = self._residency(
+                n_hyper, feat_dim, cd, nd, rm, fc,
+                remat_paths=rp, staged=split > 0,
+            )
+            if pb + ob + db + self._PLAN_SLACK + self._MIN_BANK <= chip:
                 chosen_tier = tier
                 break
-        cd, nd, rm, fc = resolve(chosen_tier)
-        pb, ob, ab = self._residency(n_hyper, feat_dim, cd, nd, rm, fc)
-        budget = max(self._MIN_BANK, chip - pb - ob - ab - self._PLAN_SLACK)
+        cd, nd, rm, fc, rp, split = resolve(chosen_tier)
+        pb, ob, db = self._residency(
+            n_hyper, feat_dim, cd, nd, rm, fc, remat_paths=rp, staged=split > 0
+        )
+        budget = max(self._MIN_BANK, chip - pb - ob - db - self._PLAN_SLACK)
         plan = LevelPlan(
             compute_dtype=cd, node_param_dtype=nd, remat=rm, factored=fc,
-            bank_budget=int(budget),
-            # The top tier also remats each layer's three propagation paths:
-            # at 5-gram scale layer-level remat alone measured 12.86 GB of
-            # concurrent backward buffers (exp_memwall_r3 OOM).
-            remat_paths=(chosen_tier >= 3 and rm),
+            bank_budget=int(budget), remat_paths=rp, stage_split=split,
         )
         if chosen_tier > 0:
             logger.info(
                 "level n=%d auto-plan tier %d: compute=%s node_params=%s "
-                "remat=%s remat_paths=%s factored=%s (residency "
-                "%.1f+%.1f+%.1f GB of %.1f GB; banks get %.1f GB)",
-                graph.n, chosen_tier, cd, nd, rm, plan.remat_paths, fc,
-                pb / 2**30, ob / 2**30, ab / 2**30, chip / 2**30, budget / 2**30,
+                "remat=%s remat_paths=%s factored=%s stage_split=%d "
+                "(residency %.1f+%.1f+%.1f GB of %.1f GB; banks get %.1f GB)",
+                graph.n, chosen_tier, cd, nd, rm, rp, fc, split,
+                pb / 2**30, ob / 2**30, db / 2**30, chip / 2**30, budget / 2**30,
             )
         return plan
 
@@ -682,6 +889,14 @@ class HierarchicalTrainer:
         if par is not None and par.mesh_nodes is not None:
             mesh_devices = int(par.mesh_nodes) * max(int(par.mesh_feats), 1)
         distributed = mesh_devices > 1
+        if distributed and (plan.remat_paths or plan.stage_split):
+            # Per-path remat packs sub-128 carries by reshaping the key
+            # axis — the axis mesh parallelism shards — and the staged step
+            # is a single-chip memory lever.  Multi-chip memory pressure is
+            # per-shard anyway; keep the plain fused step.
+            import dataclasses as _dc
+
+            plan = _dc.replace(plan, remat_paths=False, stage_split=0)
         mesh = None
         if distributed:
             from protgram_directgcn_tpu.parallel.mesh import (
@@ -774,11 +989,18 @@ class HierarchicalTrainer:
                 "second moments — full Adam moments would not fit the chip "
                 "(node_param_factored=%s)", n_val, gcn.node_param_factored,
             )
-        opt = make_optimizer(
-            gcn.lr, wd, factor_node_params_above=total_nodes if factored else None
-        )
-        opt_state = opt.init(params)
-        step = make_train_step(model_cfg, opt, l2_lambda)
+        def make_opt():
+            return make_optimizer(
+                gcn.lr, wd, factor_node_params_above=total_nodes if factored else None
+            )
+
+        if plan.stage_split:
+            step = make_train_step_staged(model_cfg, make_opt, l2_lambda, plan.stage_split)
+            opt_state = step.init_opt_state(params)
+        else:
+            opt = make_opt()
+            opt_state = opt.init(params)
+            step = make_train_step(model_cfg, opt, l2_lambda)
 
         sched = PlateauScheduler(gcn.lr, gcn.lr_scheduler_patience, gcn.lr_scheduler_factor) if gcn.use_lr_scheduler else None
         stopper = EarlyStopper(gcn.early_stopping_patience, gcn.early_stopping_min_delta) if gcn.use_early_stopping else None
@@ -836,7 +1058,7 @@ class HierarchicalTrainer:
                 avg = epoch_loss / len(batches)
                 epochs_run = epoch
                 if sched is not None:
-                    opt_state.hyperparams["learning_rate"] = jnp.asarray(sched.step(avg))
+                    set_learning_rate(opt_state, sched.step(avg))
                 if stopper is not None and stopper.should_stop(avg):
                     logger.info("early stop at epoch %d (best %.5f)", epoch, stopper.best_loss)
                     break
@@ -888,7 +1110,7 @@ class HierarchicalTrainer:
                             step=epoch,
                         )
                     if sched is not None:
-                        opt_state.hyperparams["learning_rate"] = jnp.asarray(sched.step(loss_val))
+                        set_learning_rate(opt_state, sched.step(loss_val))
                     if stopper is not None and stopper.should_stop(loss_val):
                         logger.info("early stop at epoch %d (best %.5f)", epoch, stopper.best_loss)
                         break

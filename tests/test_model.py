@@ -245,9 +245,12 @@ def test_remat_paths_matches_plain_on_rg_carry(rng):
     params = init_directgcn_params(jax.random.PRNGKey(0), cfg)
     x = jax.random.normal(jax.random.PRNGKey(1), (a, gd, 16))
 
+    # remat_paths distributes the gate product into the paths
+    # (out = Σ gate_k·path_k + const), so results differ from the plain
+    # nested combine only by f32 reassociation.
     out, _ = directgcn_apply(params, dg, x, cfg, flatten_rg=False)
     out_rp, _ = directgcn_apply(params, dg, x, cfg_rp, flatten_rg=False)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(out_rp), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_rp), rtol=1e-4, atol=1e-6)
 
     def loss(p, c):
         lo, _ = directgcn_apply(p, dg, x, c, flatten_rg=False)
@@ -256,4 +259,4 @@ def test_remat_paths_matches_plain_on_rg_carry(rng):
     gp = jax.grad(lambda p: loss(p, cfg))(params)
     gr = jax.grad(lambda p: loss(p, cfg_rp))(params)
     for a_, b_ in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gr)):
-        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-4, atol=1e-6)

@@ -386,3 +386,70 @@ def test_optimizer_state_is_f32_for_bf16_params():
             assert getattr(leaf, "dtype", jnp.float32) != jnp.bfloat16, (
                 "optimizer state leaked bf16"
             )
+
+
+def test_staged_step_matches_fused(built_graphs, tmp_path):
+    """make_train_step_staged must reproduce the fused step's updated params
+    and loss exactly up to f32 reassociation: same dropout key derivation,
+    per-half optimizer updates (per-leaf math is identical), analytic
+    L2-in-gradient."""
+    import jax
+    import jax.numpy as jnp
+    from protgram_directgcn_tpu.graph import transforms
+    from protgram_directgcn_tpu.graph.structure import DeviceGraph, load_graph
+    from protgram_directgcn_tpu.models.directgcn import (
+        DirectGCNConfig, init_directgcn_params,
+    )
+    from protgram_directgcn_tpu.ops import hypercube
+    from protgram_directgcn_tpu.pipeline.trainer import (
+        make_optimizer, make_train_step, make_train_step_staged,
+    )
+
+    g = load_graph(built_graphs / "ngram_graph_n2.npz")
+    codes, alpha = hypercube.vocab_char_codes(g.vocab)
+
+    def hyper(m):
+        s, t, v = transforms.csr_to_coo_arrays(m)
+        return hypercube.build_hypercube(s, t, v, codes, alpha)
+
+    p_in = hyper(g.mathcal_a_in())
+    dg = DeviceGraph(
+        p_in=p_in, p_out=hyper(g.mathcal_a_out()), p_und=hyper(g.undirected_norm()),
+        num_nodes=p_in.n_out, node_map=p_in.node_map,
+    )
+    a, gd = p_in.feature_shape
+    nh = dg.num_nodes
+    cfg = DirectGCNConfig(
+        layer_dims=(16, 24, 16, 8), num_nodes=nh, num_classes=5, n_gram_len=2,
+        max_pe_len=0, remat=True, remat_paths=True,
+    )
+    params = init_directgcn_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (a, gd, 16))
+    y = jax.random.randint(jax.random.PRNGKey(2), (nh,), 0, 5, jnp.int32)
+    mask = jnp.ones((nh,), jnp.float32)
+    rng = jax.random.PRNGKey(3)
+
+    opt = make_optimizer(1e-3, 0.0)
+    fused = make_train_step(cfg, opt, 1e-5)
+    p1, _, loss1, prim1 = fused(
+        dict(params), opt.init(params), dg, x, y, mask, jnp.float32(1.0), rng, None
+    )
+
+    params2 = init_directgcn_params(jax.random.PRNGKey(0), cfg)
+    staged = make_train_step_staged(cfg, lambda: make_optimizer(1e-3, 0.0), 1e-5, split=2)
+    p2, _, loss2, prim2 = staged(
+        params2, staged.init_opt_state(params2), dg, x, y, mask,
+        jnp.float32(1.0), rng, None,
+    )
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(float(prim1), float(prim2), rtol=1e-5)
+    for (ka, va), (kb, vb) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(p1), key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(p2), key=lambda t: str(t[0])),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=2e-4, atol=1e-6,
+            err_msg=str(ka),
+        )
