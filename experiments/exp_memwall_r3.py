@@ -142,13 +142,18 @@ def run_stack(jax, jnp, dg, nh, a_dim, g_dim, tag, layer_dims, epochs):
         node_param_dtype="bfloat16", remat=True, remat_paths=True,
     )
     params = init_directgcn_params(jax.random.PRNGKey(1), cfg)
-    split = (len(layer_dims)) // 2
+    # A stage per layer PLUS a decoder-only final stage: even the half-split
+    # tail (2 layers + decoder) measured 14.83 GB of HLO temps, and
+    # L4+decoder as one final stage still exhausted the chip at runtime
+    # (this log's history) — single-layer stage-grad programs are the
+    # granularity that fits.
+    split = list(range(1, len(layer_dims)))
     step = make_train_step_staged(
         cfg, lambda: make_optimizer(1e-3, 0.0, factor_node_params_above=nh),
         1e-7, split=split,
     )
     opt_state = step.init_opt_state(params)
-    log(f"{tag}: staged step, split at layer {split}")
+    log(f"{tag}: staged step, per-layer stages {split}")
     param_bytes = sum(
         a.nbytes for a in jax.tree_util.tree_leaves(params) if hasattr(a, "nbytes")
     )
@@ -169,6 +174,13 @@ def run_stack(jax, jnp, dg, nh, a_dim, g_dim, tag, layer_dims, epochs):
     # toward zero — a real decreasing-loss curve, not a degenerate one.
     y = jax.random.randint(jax.random.PRNGKey(7), (nh,), 0, num_classes, jnp.int32)
     mask = jnp.ones((nh,), jnp.float32)
+
+    if os.environ.get("PROTGRAM_STAGE_DEBUG") == "1":
+        live = [a for a in jax.tree_util.tree_leaves(None) or []]  # noqa: F841
+        arrs = [a for a in jax.live_arrays() if not a.is_deleted()]
+        log(f"pre-step live {sum(a.nbytes for a in arrs)/2**30:.2f} GB: " + str(
+            [(round(a.nbytes / 2**20), str(a.shape)) for a in
+             sorted(arrs, key=lambda a: a.nbytes, reverse=True)[:8]]))
 
     times, losses = [], []
     for it in range(epochs):

@@ -229,9 +229,9 @@ def weak_scaling_report(
 
 
 def fivegram_scaling_report(
-    feat_dim: int = 64,
+    feat_dim: int = 32,
     shard_counts: Optional[List[int]] = None,
-    iters: int = 4,
+    iters: int = 2,
     num_seqs: int = 30_000,
 ) -> dict:
     """Scaling curves on the CACHED 5-gram bench graph — the workload
@@ -284,7 +284,7 @@ def fivegram_scaling_report(
             out = fn(out)
         fetch(out)  # compile + warm
         best = float("inf")
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.perf_counter()
             out = x0
             for _ in range(iters):

@@ -236,52 +236,50 @@ def make_train_step(model_cfg: DirectGCNConfig, opt: optax.GradientTransformatio
 
 def set_learning_rate(opt_state, lr: float):
     """Plateau-scheduler hook that works for both the fused step's single
-    inject_hyperparams state and the staged step's (head, tail) pair."""
+    inject_hyperparams state and the staged step's per-stage states."""
     lr = jnp.asarray(lr)
     if isinstance(opt_state, StagedOptState):
-        opt_state.head.hyperparams["learning_rate"] = lr
-        opt_state.tail.hyperparams["learning_rate"] = lr
+        for s in opt_state.stages:
+            s.hyperparams["learning_rate"] = lr
     else:
         opt_state.hyperparams["learning_rate"] = lr
 
 
 class StagedOptState(NamedTuple):
-    """Optimizer state pair for the layer-staged train step (a pytree, so
-    orbax checkpointing and tree_map over it keep working)."""
+    """Per-stage optimizer states for the layer-staged train step (a pytree,
+    so orbax checkpointing and tree_map over it keep working)."""
 
-    head: Any
-    tail: Any
+    stages: Tuple[Any, ...]
 
 
 def make_train_step_staged(
     model_cfg: DirectGCNConfig,
     make_opt,
     l2_lambda: float,
-    split: int,
+    split,
 ):
     """Layer-staged training step: same numerics as :func:`make_train_step`,
-    executed as FIVE jits so no single XLA program holds the full backward.
+    executed as a SEQUENCE of jits so no single XLA program holds the full
+    backward.
 
-    The fused 4-layer step at 5-gram scale needs ~13 GB of HLO temps on top
-    of ~5 GB of resident arguments — over a 16 GB v5e no matter how the
-    backward is rematerialized (measured across four scheduling variants,
-    experiments/exp_memwall_r3*.log).  Splitting at a layer boundary bounds
-    the peak: each stage's program sees only its own half's saved carries,
-    backward workspace, and gradients, and each half's OPTIMIZER UPDATE
-    runs before the other half's backward so gradients never accumulate
-    across stages:
+    The fused 4-layer step at 5-gram scale needs 13-15 GB of HLO temps on
+    top of ~5 GB of resident arguments — over a 16 GB v5e no matter how the
+    backward is rematerialized (measured across six scheduling variants,
+    experiments/exp_memwall_r3*.log and this file's history).  Staging
+    bounds the peak: ``split`` names the interior layer boundaries (an int
+    for one boundary, or a list — e.g. ``[1, 2, 3]`` stages every layer of
+    a 4-layer net); each stage gets
 
-        1. head_fwd:   layers [0, split) forward (no autodiff residuals)
-        2. tail_grad:  layers [split, L) + decoder + loss; grads w.r.t.
-                       tail params AND the boundary carry
-        3. tail_update (donates tail params/opt/grads)
-        4. head_grad:  vjp of the head forward applied to the carry
-                       cotangent (cross-jit remat: the head forward runs
-                       twice per step)
-        5. head_update (donates head params/opt/grads)
+        - a forward jit (layers only, no autodiff residuals),
+        - a grad jit — the final stage's computes decoder + loss and the
+          boundary-carry cotangent; earlier stages re-run their forward
+          inside ``jax.vjp`` (cross-jit remat) and hand the cotangent back,
+        - an immediate optimizer-update jit (donated), so one stage's
+          gradients are consumed before the previous stage's backward runs.
 
-    ``make_opt`` is a zero-arg factory (each half owns an optimizer state;
-    Adam/Adafactor updates are per-leaf, so per-half updates are identical
+    Boundary carries and cotangents are DONATED to their consumers.
+    ``make_opt`` is a zero-arg optimizer factory (per-stage states;
+    Adam/Adafactor updates are per-leaf, so per-stage updates are identical
     to the fused step's).  Torch-parity L2-in-gradient is applied
     analytically (d/dp of l2_lambda*sum(p^2) = 2*l2_lambda*p).  Dropout
     keys derive from ONE rng exactly as in the fused step.  Requires
@@ -295,9 +293,16 @@ def make_train_step_staged(
 
     assert model_cfg.one_gram_dim == 0, "staged step does not support PE levels"
     n_layers = len(model_cfg.layer_dims) - 1
-    assert 0 < split < n_layers, (split, n_layers)
-    opt_head = make_opt()
-    opt_tail = make_opt()
+    splits = [split] if isinstance(split, int) else sorted(split)
+    # A boundary AT n_layers makes the final stage decoder+loss only (its
+    # layer range is empty) — the leanest final-stage program.
+    assert all(0 < s <= n_layers for s in splits) and len(set(splits)) == len(splits)
+    # Always close with n_layers: a trailing split AT n_layers yields a
+    # final (n_layers, n_layers) range — the decoder-only loss stage.
+    bounds = [0] + list(splits) + [n_layers]
+    m = len(bounds) - 1  # stages
+    ranges = [(bounds[k], bounds[k + 1]) for k in range(m)]
+    opts = [make_opt() for _ in range(m)]
 
     def _rg_lead(graph):
         return getattr(graph.p_in, "feature_shape", None)
@@ -305,15 +310,12 @@ def make_train_step_staged(
     def _keys(rng):
         return jax.random.split(rng, n_layers + 1)
 
-    def _head_params(params):
-        return {"layers": params["layers"][:split], "res_projs": params["res_projs"][:split]}
-
-    def _tail_params(params):
-        return {
-            "layers": params["layers"][split:],
-            "res_projs": params["res_projs"][split:],
-            "decoder": params["decoder"],
-        }
+    def _stage_params(params, k):
+        lo, hi = ranges[k]
+        d = {"layers": params["layers"][lo:hi], "res_projs": params["res_projs"][lo:hi]}
+        if k == m - 1:
+            d["decoder"] = params["decoder"]
+        return d
 
     def _l2(tree):
         return sum(
@@ -330,90 +332,498 @@ def make_train_step_staged(
             grads, params,
         )
 
-    @jax.jit
-    def head_fwd(ph, graph, x, rng):
-        lead = _rg_lead(graph)
+    def _run_stage(k, pk, graph, c, keys):
+        lo, hi = ranges[k]
         return apply_layer_range(
-            ph, graph, x, model_cfg, 0, split,
-            train=True, drop_keys=_keys(rng), rg_lead=lead,
+            pk, graph, c, model_cfg, 0, hi - lo,
+            train=True, drop_keys=keys[lo:hi], rg_lead=_rg_lead(graph),
         )
 
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def tail_grad(pt, graph, carry, y, mask, weight_factor, rng):
-        lead = _rg_lead(graph)
-        keys = _keys(rng)
+    def make_stage_fwd(k):
+        @jax.jit
+        def stage_fwd(pk, graph, c, rng):
+            return _run_stage(k, pk, graph, c, _keys(rng))
 
-        def loss_fn(ptv, cv):
-            h = apply_layer_range(
-                ptv, graph, cv, model_cfg, 0, n_layers - split,
-                train=True, drop_keys=keys[split:], rg_lead=lead,
+        return stage_fwd
+
+    def make_final_grad(k):
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def final_grad(pk, graph, carry, y, mask, weight_factor, rng):
+            lead = _rg_lead(graph)
+            keys = _keys(rng)
+
+            def loss_fn(pv, cv):
+                h = _run_stage(k, pv, graph, cv, keys)
+                if h.ndim == 3 and lead is not None:
+                    h = unpack_rg_carry(h, model_cfg.layer_dims[-1], lead[1])
+                logits = apply_decoder(pv["decoder"], h, model_cfg, train=True, drop_key=keys[-1])
+                log_sm = jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1
+                ).astype(logits.dtype)
+                yv, mv = y, mask
+                if log_sm.ndim == 3:
+                    yv = yv.reshape(log_sm.shape[:2])
+                    mv = mv.reshape(log_sm.shape[:2])
+                per_node = -jnp.take_along_axis(log_sm, yv[..., None], axis=-1)[..., 0]
+                denom = jnp.maximum(mv.sum(), 1.0)
+                primary = jnp.sum(per_node * mv) / denom
+                return primary * weight_factor, primary
+
+            (loss_p, primary), (g_p, g_c) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(pk, carry)
+            return _add_l2_grads(g_p, pk), g_c, loss_p, primary, _l2(pk)
+
+        return final_grad
+
+    def make_stage_grad(k):
+        # x (the k == 0 carry) must not be donated — it is reused every step.
+        donate = (2, 3) if k > 0 else (3,)
+
+        @functools.partial(jax.jit, donate_argnums=donate)
+        def stage_grad(pk, graph, carry, g_next, rng):
+            keys = _keys(rng)
+
+            def f(pv):
+                return _run_stage(k, pv, graph, carry, keys)
+
+            _, vjp = jax.vjp(f, pk)
+            (g_p,) = vjp(g_next)
+            return _add_l2_grads(g_p, pk), _l2(pk)
+
+        return stage_grad
+
+    def make_stage_grad_carry(k):
+        # Interior stage that must also hand back its own input cotangent.
+        donate = (2, 3) if k > 0 else (3,)
+
+        @functools.partial(jax.jit, donate_argnums=donate)
+        def stage_grad_c(pk, graph, carry, g_next, rng):
+            keys = _keys(rng)
+
+            def f(pv, cv):
+                return _run_stage(k, pv, graph, cv, keys)
+
+            _, vjp = jax.vjp(f, pk, carry)
+            g_p, g_c = vjp(g_next)
+            return _add_l2_grads(g_p, pk), g_c, _l2(pk)
+
+        return stage_grad_c
+
+    def make_stage_grad_carry_recompute(k, j):
+        # Stage k whose input carry is NOT held device-resident (128-wide
+        # boundaries cannot pack, so holding one costs a full ~1 GB at
+        # 5-gram scale): recompute it from the nearest held carry c_j by
+        # running stages j..k-1 forward (their params are pre-update at this
+        # point of the backward sweep, so the recomputation is bit-identical
+        # to the original forward).  stop_gradient keeps the vjp scoped to
+        # stage k; the returned cotangent is w.r.t. stage k's input as
+        # usual.
+        donate = (4,)  # g_next; c_j stays (it may feed stage j's own grad)
+
+        @functools.partial(jax.jit, donate_argnums=donate)
+        def stage_grad_rec(pk, ps_prev, graph, c_j, g_next, rng):
+            keys = _keys(rng)
+            c = c_j
+            for t, pt in zip(range(j, k), ps_prev):
+                c = _run_stage(t, pt, graph, c, keys)
+            c = jax.lax.stop_gradient(c)
+
+            def f(pv, cv):
+                return _run_stage(k, pv, graph, cv, keys)
+
+            _, vjp = jax.vjp(f, pk, c)
+            g_p, g_c = vjp(g_next)
+            return _add_l2_grads(g_p, pk), g_c, _l2(pk)
+
+        return stage_grad_rec
+
+    def make_update(k):
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def update(pk, opt_state, g):
+            updates, opt_state = opts[k].update(g, opt_state, pk)
+            return optax.apply_updates(pk, updates), opt_state
+
+        return update
+
+    # ------------------------------------------------------------------
+    # Manual per-path layer backward: even a SINGLE layer's vjp program
+    # (recompute + three path transposes + gate/const grads) peaks ~10 GB at
+    # 5-gram scale — XLA will not serialize the path pipelines inside one
+    # program tightly enough.  For interior single-layer stages in the rg
+    # per-node mode, the gradient is computed as a host-driven sequence of
+    # SMALL jits, each bounded by one propagation pipeline:
+    #   S: recompute the pre-activation sum s (3 barrier-chained paths)
+    #   T: elementwise tail backward (dropout -> leaky -> residual); emits
+    #      ds — which IS the constant's gradient and every path's upstream
+    #      cotangent
+    #   P_i (x3): one path's backward — pipeline A (forward recompute for
+    #      the gate grad), barrier, pipeline B (transpose propagation);
+    #      accumulates the carry cotangent
+    #   A: assemble the layer's gradient pytree (shared-weight sums, gate
+    #      product chain rule, L2) and apply the optimizer — all donated.
+    # ------------------------------------------------------------------
+
+    _PATHS = (
+        ("w_main_in", "b_main_in", "b_shared_in", "p_in"),
+        ("w_main_out", "b_main_out", "b_shared_out", "p_out"),
+        ("w_und", "b_und", "b_shared_und", "p_und"),
+    )
+
+    def _manual_ok(k):
+        lo, hi = ranges[k]
+        return (
+            hi - lo == 1
+            and model_cfg.remat_paths
+            and model_cfg.use_vector_coeffs
+            and model_cfg.num_nodes > 0
+        )
+
+    def make_interior_grad_manual(k):
+        from protgram_directgcn_tpu.models.directgcn import pack_rg_carry
+        from protgram_directgcn_tpu.ops.spmm import propagate
+
+        li = ranges[k][0]  # absolute layer index
+        in_dim = model_cfg.layer_dims[li]
+        out_dim = model_cfg.layer_dims[li + 1]
+        f_pad = -(-out_dim // 128) * 128
+        ct = jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else jnp.float32
+        use_pallas = model_cfg.use_pallas
+        slope = model_cfg.leaky_relu_slope
+        dropout = model_cfg.dropout
+        wp = (
+            (lambda w: jnp.pad(w, ((0, 0), (0, f_pad - out_dim))))
+            if f_pad != out_dim else (lambda w: w)
+        )
+        bp = (
+            (lambda b: jnp.pad(b, (0, f_pad - out_dim)))
+            if f_pad != out_dim else (lambda b: b)
+        )
+
+        def _unpack(t, f, lead):
+            from protgram_directgcn_tpu.models.directgcn import unpack_rg_carry
+
+            return unpack_rg_carry(t, f, lead[1])
+
+        def _gate_products(lp, lead):
+            a, g_real = lead
+            r3 = lambda t: t.reshape((a, g_real, 1))  # noqa: E731
+            gi = r3(lp["c_directed"] * lp["c_all"] * lp["c_in"])
+            go = r3(lp["c_directed"] * lp["c_all"] * lp["c_out"])
+            gu = r3(lp["c_undirected"] * lp["c_all"])
+            return gi, go, gu
+
+        def _const_pad(lp, lead):
+            a, g_real = lead
+            c = lp["constant"].reshape(a, g_real, out_dim)
+            if f_pad != out_dim:
+                c = jnp.pad(c, ((0, 0), (0, 0), (0, f_pad - out_dim)))
+            return c
+
+        @jax.jit
+        def s_fwd(lp, rp, graph, carry):
+            lead = _rg_lead(graph)
+            xc = _unpack(carry, in_dim, lead).astype(ct)
+            gates = _gate_products(lp, lead)
+            acc = None
+            for (wk, bm, bs, adj_attr), gate in zip(_PATHS, gates):
+                proj = xc @ wp(lp[wk] + lp["w_shared"]).astype(ct)
+                contrib = gate.astype(ct) * (
+                    propagate(getattr(graph, adj_attr), proj, use_pallas)
+                    + bp(lp[bm] + lp[bs]).astype(ct)
+                )
+                if acc is None:
+                    acc = contrib
+                else:
+                    acc = acc + contrib
+                xc, acc = jax.lax.optimization_barrier((xc, acc))
+            s = (acc + _const_pad(lp, lead))[..., :out_dim]
+            res = (
+                xc if rp is None
+                else xc @ rp["w"].astype(xc.dtype) + rp["b"].astype(xc.dtype)
             )
-            if h.ndim == 3 and lead is not None:
-                h = unpack_rg_carry(h, model_cfg.layer_dims[-1], lead[1])
-            logits = apply_decoder(ptv["decoder"], h, model_cfg, train=True, drop_key=keys[-1])
-            log_sm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
-            yv, mv = y, mask
-            if log_sm.ndim == 3:
-                yv = yv.reshape(log_sm.shape[:2])
-                mv = mv.reshape(log_sm.shape[:2])
-            per_node = -jnp.take_along_axis(log_sm, yv[..., None], axis=-1)[..., 0]
-            denom = jnp.maximum(mv.sum(), 1.0)
-            primary = jnp.sum(per_node * mv) / denom
-            return primary * weight_factor, primary
+            s = s + res
+            return pack_rg_carry(s.astype(ct))
 
-        (loss_p, primary), (g_tail, g_carry) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(pt, carry)
-        g_tail = _add_l2_grads(g_tail, pt)
-        return g_tail, g_carry, loss_p, primary, _l2(pt)
+        @functools.partial(jax.jit, donate_argnums=(3, 4))
+        def tail_bwd(lp, rp, carry, s_packed, g_packed, rng):
+            lead = _rg_lead(graph_ref[0])
+            s = _unpack(s_packed, out_dim, lead)
+            g = _unpack(g_packed, out_dim, lead)
+            key = _keys(rng)[li]
+            if dropout > 0:
+                keep = 1.0 - dropout
+                mask = jax.random.bernoulli(key, keep, s.shape)
+                # forward was out = where(mask, leaky(s)/keep, 0)
+                dpre = jnp.where(mask, g / keep, jnp.zeros_like(g))
+            else:
+                dpre = g
+            ds = dpre * jnp.where(s >= 0, 1.0, slope).astype(dpre.dtype)
+            if rp is None:
+                dxc0 = ds  # identity residual (in_dim == out_dim)
+                dwres = None
+            else:
+                xc = _unpack(carry, in_dim, lead).astype(ct)
+                dwres = (
+                    jnp.einsum("...i,...o->io", xc, ds, preferred_element_type=jnp.float32)
+                    .astype(rp["w"].dtype),
+                    jnp.sum(ds.astype(jnp.float32), axis=(0, 1)).astype(rp["b"].dtype),
+                )
+                dxc0 = jnp.einsum("...o,io->...i", ds, rp["w"].astype(ds.dtype))
+            return pack_rg_carry(ds), dxc0, dwres
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def tail_update(pt, opt_state, g_tail):
-        updates, opt_state = opt_tail.update(g_tail, opt_state, pt)
-        return optax.apply_updates(pt, updates), opt_state
+        def make_path_bwd(i):
+            wk, bm, bs, adj_attr = _PATHS[i]
 
-    @functools.partial(jax.jit, donate_argnums=(3,))
-    def head_grad(ph, graph, x, g_carry, rng):
-        lead = _rg_lead(graph)
+            @functools.partial(jax.jit, donate_argnums=(4,))
+            def path_bwd(lp, graph, carry, ds_packed, dxc_acc):
+                lead = _rg_lead(graph)
+                xc = _unpack(carry, in_dim, lead).astype(ct)
+                gate = _gate_products(lp, lead)[i].astype(ct)
+                wc = wp(lp[wk] + lp["w_shared"]).astype(ct)
+                proj = xc @ wc
+                adj = getattr(graph, adj_attr)
+                y, vjp_prop = jax.vjp(
+                    lambda pr: propagate(adj, pr, use_pallas), proj
+                )
+                du = _unpack(ds_packed, out_dim, lead)
+                if f_pad != out_dim:
+                    du = jnp.pad(du, ((0, 0), (0, 0), (0, f_pad - out_dim)))
+                yb = y + bp(lp[bm] + lp[bs]).astype(ct)
+                dgate = jnp.sum(
+                    (du * yb).astype(jnp.float32), axis=-1, keepdims=True
+                )
+                dprop = gate * du
+                db = jnp.sum(dprop.astype(jnp.float32), axis=(0, 1))[:out_dim]
+                # Pipeline B only after pipeline A's consumers finish.
+                dprop, dgate, db = jax.lax.optimization_barrier((dprop, dgate, db))
+                (dproj,) = vjp_prop(dprop)
+                dw = jnp.einsum(
+                    "...i,...o->io", xc, dproj, preferred_element_type=jnp.float32
+                )[:, :out_dim]
+                dxc = jnp.einsum("...o,io->...i", dproj, wc)
+                return dw, db, dgate, dxc_acc + dxc
 
-        def f(phv):
-            return apply_layer_range(
-                phv, graph, x, model_cfg, 0, split,
-                train=True, drop_keys=_keys(rng), rg_lead=lead,
+            return path_bwd
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def assemble_update(pk, opt_state, parts):
+            lp = pk["layers"][0]
+            rp = pk["res_projs"][0]
+            (dws, dbs, dgates, dwres, ds_packed) = parts
+            lead = _rg_lead(graph_ref[0])
+            n = model_cfg.num_nodes
+            f32 = jnp.float32
+            ci, co, cd, cu, ca = (
+                lp["c_in"].astype(f32), lp["c_out"].astype(f32),
+                lp["c_directed"].astype(f32), lp["c_undirected"].astype(f32),
+                lp["c_all"].astype(f32),
             )
+            dgi, dgo, dgu = (d.reshape(n, 1) for d in dgates)
+            glp = {
+                "w_main_in": dws[0].astype(lp["w_main_in"].dtype),
+                "w_main_out": dws[1].astype(lp["w_main_out"].dtype),
+                "w_und": dws[2].astype(lp["w_und"].dtype),
+                "w_shared": (dws[0] + dws[1] + dws[2]).astype(lp["w_shared"].dtype),
+                "b_main_in": dbs[0].astype(lp["b_main_in"].dtype),
+                "b_shared_in": dbs[0].astype(lp["b_shared_in"].dtype),
+                "b_main_out": dbs[1].astype(lp["b_main_out"].dtype),
+                "b_shared_out": dbs[1].astype(lp["b_shared_out"].dtype),
+                "b_und": dbs[2].astype(lp["b_und"].dtype),
+                "b_shared_und": dbs[2].astype(lp["b_shared_und"].dtype),
+                "c_in": (dgi * cd * ca).astype(lp["c_in"].dtype),
+                "c_out": (dgo * cd * ca).astype(lp["c_out"].dtype),
+                "c_directed": (dgi * ca * ci + dgo * ca * co).astype(lp["c_directed"].dtype),
+                "c_undirected": (dgu * ca).astype(lp["c_undirected"].dtype),
+                "c_all": (dgi * cd * ci + dgo * cd * co + dgu * cu).astype(lp["c_all"].dtype),
+                "constant": _unpack(ds_packed, out_dim, lead)
+                .reshape(n, out_dim)
+                .astype(lp["constant"].dtype),
+            }
+            grp = (
+                None if rp is None
+                else {"w": dwres[0], "b": dwres[1]}
+            )
+            grads = {"layers": [glp], "res_projs": [grp]}
+            grads = _add_l2_grads(grads, pk)
+            l2_k = _l2(pk)
+            updates, opt_state = opts[k].update(grads, opt_state, pk)
+            return optax.apply_updates(pk, updates), opt_state, l2_k
 
-        _, vjp = jax.vjp(f, ph)
-        (g_head,) = vjp(g_carry)
-        return _add_l2_grads(g_head, ph), _l2(ph)
+        path_bwds = [make_path_bwd(i) for i in range(3)]
+        # graph is threaded via a mutable ref so tail_bwd/assemble (which
+        # don't take it as an arg) can read the rg lead at TRACE time.
+        graph_ref = [None]
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def head_update(ph, opt_state, g_head):
-        updates, opt_state = opt_head.update(g_head, opt_state, ph)
-        return optax.apply_updates(ph, updates), opt_state
+        def run(pk, opt_state_k, graph, carry, g_next, rng):
+            graph_ref[0] = graph
+            lp = pk["layers"][0]
+            rp = pk["res_projs"][0]
+            s_p = s_fwd(lp, rp, graph, carry)
+            _sync(f"s_fwd{k}", s_p)
+            ds_p, dxc, dwres = tail_bwd(lp, rp, carry, s_p, g_next, rng)
+            _sync(f"tail{k}", ds_p)
+            dws, dbs, dgates = [], [], []
+            for i in range(3):
+                dw, db, dgate, dxc = path_bwds[i](lp, graph, carry, ds_p, dxc)
+                _sync(f"path{k}.{i}", dxc)
+                dws.append(dw)
+                dbs.append(db)
+                dgates.append(dgate)
+            from protgram_directgcn_tpu.models.directgcn import pack_rg_carry as _pack
+
+            g_c = _pack(dxc) if (in_dim < 128 and 128 % in_dim == 0) else dxc
+            new_pk, new_state, l2_k = assemble_update(
+                pk, opt_state_k, (dws, dbs, dgates, dwres, ds_p)
+            )
+            _sync(f"update{k}", l2_k)
+            return new_pk, new_state, g_c, l2_k
+
+        return run
+
+    # Carry-holding policy: a boundary carry is held device-resident only
+    # when its width packs below the 128-lane tile (pack_rg_carry) —
+    # 128-wide boundaries cost a full ~1 GB each at 5-gram scale, so those
+    # stages recompute their input from the nearest held carry instead.
+    def _packable(w):
+        return w < 128 and 128 % w == 0
+
+    held = [True] + [
+        _packable(model_cfg.layer_dims[bounds[k]]) for k in range(1, m)
+    ]
+    assert held[m - 1], "final stage's input carry must be packable"
+    nearest_held = {}
+    for k in range(1, m - 1):
+        j = k - 1
+        while not held[j]:
+            j -= 1
+        nearest_held[k] = j
+
+    stage_fwd_fns = [make_stage_fwd(k) for k in range(m - 1)]
+    final_grad_fn = make_final_grad(m - 1)
+    manual_fns = {
+        k: make_interior_grad_manual(k)
+        for k in range(0, m - 1)
+        if _manual_ok(k)
+    }
+    grad_fns = {
+        k: (
+            make_stage_grad_carry(k)
+            if held[k]
+            else make_stage_grad_carry_recompute(k, nearest_held[k])
+        )
+        for k in range(1, m - 1)
+        if k not in manual_fns
+    }
+    stage0_grad_fn = make_stage_grad(0) if (m > 1 and 0 not in manual_fns) else None
+    update_fns = [make_update(k) for k in range(m)]
 
     def init_opt_state(params):
         return StagedOptState(
-            head=opt_head.init(_head_params(params)),
-            tail=opt_tail.init(_tail_params(params)),
+            stages=tuple(opts[k].init(_stage_params(params, k)) for k in range(m))
+        )
+
+    # Serialize stage executions: dispatch is ASYNC, and with the stages
+    # enqueued back-to-back multiple programs' workspaces overlap on the
+    # device — the whole point of staging is that they must not.  A
+    # one-element fetch between stages (block_until_ready does not block on
+    # tunneled backends, CLAUDE.md) costs ~1 ms and bounds the peak to one
+    # stage's program.  PROTGRAM_STAGE_DEBUG=1 additionally logs the live
+    # device arrays the host still references.
+    _dbg = os.environ.get("PROTGRAM_STAGE_DEBUG") == "1"
+
+    def _sync(tag, val):
+        leaf = jax.tree_util.tree_leaves(val)[0]
+        tiny = leaf[(slice(0, 1),) * getattr(leaf, "ndim", 0)]
+        np.asarray(jax.device_get(tiny))
+        if not _dbg:
+            return
+        live = [a for a in jax.live_arrays() if not a.is_deleted()]
+        total = sum(a.nbytes for a in live)
+        top = sorted(live, key=lambda a: a.nbytes, reverse=True)[:8]
+        logger.info(
+            "[stage %s] live=%.2f GB over %d arrays; top %s", tag,
+            total / 2**30, len(live),
+            [(round(a.nbytes / 2**20), str(a.shape), str(a.dtype)) for a in top],
         )
 
     def step(params, opt_state, graph, x, y, mask, weight_factor, rng, original_indices):
         assert original_indices is None, "staged step is full-batch only"
-        ph, pt = _head_params(params), _tail_params(params)
-        carry = head_fwd(ph, graph, x, rng)
-        g_tail, g_carry, loss_p, primary, l2_t = tail_grad(
-            pt, graph, carry, y, mask, weight_factor, rng
+        stage_ps = [_stage_params(params, k) for k in range(m)]
+        carries = [x]
+        for k in range(m - 1):
+            carries.append(stage_fwd_fns[k](stage_ps[k], graph, carries[-1], rng))
+            if k >= 1 and not held[k]:
+                carries[k] = None  # free: stage k recomputes it at backward
+            _sync(f"fwd{k}", carries[-1])
+
+        new_states = [None] * m
+        g_p, g_c, loss_p, primary, l2_sum = final_grad_fn(
+            stage_ps[m - 1], graph, carries[m - 1], y, mask, weight_factor, rng
         )
-        pt, tail_state = tail_update(pt, opt_state.tail, g_tail)
-        g_head, l2_h = head_grad(ph, graph, x, g_carry, rng)
-        ph, head_state = head_update(ph, opt_state.head, g_head)
+        carries[m - 1] = None
+        _sync("final_grad", g_c)
+        stage_ps[m - 1], new_states[m - 1] = update_fns[m - 1](
+            stage_ps[m - 1], opt_state.stages[m - 1], g_p
+        )
+        _sync("final_update", new_states[m - 1])
+        def materialize_carry(k):
+            # Regenerate a non-held carry by re-running stage forwards from
+            # the nearest held one (their params are pre-update here).
+            if carries[k] is not None:
+                return carries[k]
+            j = nearest_held[k]
+            c = carries[j]
+            for t in range(j, k):
+                c = stage_fwd_fns[t](stage_ps[t], graph, c, rng)
+                _sync(f"refwd{t}", c)
+            return c
+
+        for k in range(m - 2, 0, -1):
+            if k in manual_fns:
+                carry_k = materialize_carry(k)
+                stage_ps[k], new_states[k], g_c, l2_k = manual_fns[k](
+                    stage_ps[k], opt_state.stages[k], graph, carry_k, g_c, rng
+                )
+                carries[k] = None
+                l2_sum = l2_sum + l2_k
+                continue
+            if held[k]:
+                g_p, g_c, l2_k = grad_fns[k](stage_ps[k], graph, carries[k], g_c, rng)
+                carries[k] = None
+            else:
+                j = nearest_held[k]
+                g_p, g_c, l2_k = grad_fns[k](
+                    stage_ps[k], [stage_ps[t] for t in range(j, k)], graph,
+                    carries[j], g_c, rng,
+                )
+            _sync(f"grad{k}", g_c)
+            l2_sum = l2_sum + l2_k
+            stage_ps[k], new_states[k] = update_fns[k](
+                stage_ps[k], opt_state.stages[k], g_p
+            )
+            _sync(f"update{k}", new_states[k])
+        if m > 1:
+            if 0 in manual_fns:
+                stage_ps[0], new_states[0], _, l2_0 = manual_fns[0](
+                    stage_ps[0], opt_state.stages[0], graph, x, g_c, rng
+                )
+            else:
+                g_p, l2_0 = stage0_grad_fn(stage_ps[0], graph, x, g_c, rng)
+                _sync("grad0", l2_0)
+                stage_ps[0], new_states[0] = update_fns[0](
+                    stage_ps[0], opt_state.stages[0], g_p
+                )
+                _sync("update0", new_states[0])
+            l2_sum = l2_sum + l2_0
+
         params = {
-            "layers": list(ph["layers"]) + list(pt["layers"]),
-            "res_projs": list(ph["res_projs"]) + list(pt["res_projs"]),
-            "decoder": pt["decoder"],
+            "layers": [l for sp in stage_ps for l in sp["layers"]],
+            "res_projs": [r for sp in stage_ps for r in sp["res_projs"]],
+            "decoder": stage_ps[m - 1]["decoder"],
         }
-        loss = loss_p + l2_lambda * (l2_h + l2_t)
-        return params, StagedOptState(head=head_state, tail=tail_state), loss, primary
+        loss = loss_p + l2_lambda * l2_sum
+        return params, StagedOptState(stages=tuple(new_states)), loss, primary
 
     step.init_opt_state = init_opt_state
     return step
@@ -995,7 +1405,12 @@ class HierarchicalTrainer:
             )
 
         if plan.stage_split:
-            step = make_train_step_staged(model_cfg, make_opt, l2_lambda, plan.stage_split)
+            # A stage per layer: coarser splits measured 14.8+ GB of HLO
+            # temps at 5-gram scale (experiments/exp_memwall_r3 history).
+            step = make_train_step_staged(
+                model_cfg, make_opt, l2_lambda,
+                list(range(1, len(layer_dims))),
+            )
             opt_state = step.init_opt_state(params)
         else:
             opt = make_opt()

@@ -444,12 +444,28 @@ def test_staged_step_matches_fused(built_graphs, tmp_path):
 
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
     np.testing.assert_allclose(float(prim1), float(prim2), rtol=1e-5)
-    for (ka, va), (kb, vb) in zip(
-        sorted(jax.tree_util.tree_leaves_with_path(p1), key=lambda t: str(t[0])),
-        sorted(jax.tree_util.tree_leaves_with_path(p2), key=lambda t: str(t[0])),
-    ):
-        assert str(ka) == str(kb)
-        np.testing.assert_allclose(
-            np.asarray(va), np.asarray(vb), rtol=2e-4, atol=1e-6,
-            err_msg=str(ka),
-        )
+
+    def assert_params_close(pa, pb):
+        for (ka, va), (kb, vb) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(pa), key=lambda t: str(t[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(pb), key=lambda t: str(t[0])),
+        ):
+            assert str(ka) == str(kb)
+            np.testing.assert_allclose(
+                np.asarray(va), np.asarray(vb), rtol=2e-4, atol=1e-6,
+                err_msg=str(ka),
+            )
+
+    assert_params_close(p1, p2)
+
+    # Per-layer staging (a stage per layer) must match too.
+    params3 = init_directgcn_params(jax.random.PRNGKey(0), cfg)
+    staged3 = make_train_step_staged(
+        cfg, lambda: make_optimizer(1e-3, 0.0), 1e-5, split=[1, 2]
+    )
+    p3, _, loss3, _ = staged3(
+        params3, staged3.init_opt_state(params3), dg, x, y, mask,
+        jnp.float32(1.0), rng, None,
+    )
+    np.testing.assert_allclose(float(loss1), float(loss3), rtol=1e-5)
+    assert_params_close(p1, p3)
