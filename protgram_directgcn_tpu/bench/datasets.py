@@ -163,13 +163,26 @@ _SYNTH_SHAPES: Dict[str, Dict] = {
 
 
 def synthetic_stand_in(name: str, seed: int = 42) -> NodeClassificationDataset:
-    """Seeded feature-correlated SBM matching the real dataset's task shape."""
+    """Seeded feature-correlated SBM matching the real dataset's task shape.
+
+    Features mimic the REAL datasets' regime — sparse binary bag-of-words
+    rows (the raw Planetoid ind.* statistics; the reference loads them
+    untransformed) — not dense gaussians: dense high-dimensional features
+    are ~30x larger in norm and blow up models that sum several
+    unnormalized propagations (DirectGCN's six paths), which the real data
+    never exercises."""
     spec = _SYNTH_SHAPES.get(name, dict(n=500, f=64, c=4, deg=4))
     n, f, c, deg = spec["n"], min(spec["f"], 256), spec["c"], spec["deg"]
     rng = np.random.default_rng(seed + hash(name) % 1000)
     y = rng.integers(0, c, n)
-    centers = rng.normal(size=(c, f)).astype(np.float32)
-    x = centers[y] + 0.8 * rng.normal(size=(n, f)).astype(np.float32)
+    # Per-class vocabulary: class words are ~6x likelier than background.
+    base_p = min(1.0, 8.0 / f)
+    word_p = np.full((c, f), base_p, np.float32)
+    n_class_words = max(4, f // 8)
+    for cls in range(c):
+        word_p[cls, rng.choice(f, n_class_words, replace=False)] = min(1.0, 48.0 / f)
+    x = (rng.random((n, f)) < word_p[y]).astype(np.float32)
+    x[x.sum(1) == 0, 0] = 1.0  # no empty rows (raw binary BoW, like ind.* files)
     src = np.repeat(np.arange(n), deg)
     # 70% intra-class edges, 30% random.
     tgt = np.empty(n * deg, dtype=np.int64)

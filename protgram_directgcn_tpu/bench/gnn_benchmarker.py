@@ -176,6 +176,26 @@ class GNNBenchmarker:
             ("ProtGramDirectGCN", directgcn_apply_fn,
              init_directgcn_params(jax.random.PRNGKey(seed), d_cfg), dgraph)
         )
+        # Context row (NOT in the reference's table): the reference
+        # architecture is depth-fragile on the benchmarks' UNNORMALIZED raw
+        # adjacency — three stacked unnormalized 3-path propagations through
+        # leaky-relu collapse to a dead plateau regardless of lr (its n-gram
+        # production graphs use the sqrt-normalized 𝒜 operators instead,
+        # reference: graph_utils.py:198-273).  A single hidden layer shows
+        # what the layer itself learns on these datasets.
+        d_cfg_shallow = DirectGCNConfig(
+            layer_dims=(ds.x.shape[1], 64, num_classes), num_nodes=ds.num_nodes,
+            num_classes=num_classes, n_gram_len=0, one_gram_dim=0, max_pe_len=0,
+            dropout=gcn_cfg.dropout_rate, use_vector_coeffs=gcn_cfg.use_vector_coeffs,
+        )
+
+        def directgcn_shallow_fn(p, x, train, rng, graph):
+            return directgcn_apply(p, graph, x, d_cfg_shallow, train=train, rng=rng)
+
+        model_runs.append(
+            ("ProtGramDirectGCN_shallow", directgcn_shallow_fn,
+             init_directgcn_params(jax.random.PRNGKey(seed), d_cfg_shallow), dgraph)
+        )
 
         for name, apply_fn, params, graph in model_runs:
             t0 = time.monotonic()

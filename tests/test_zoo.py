@@ -108,7 +108,8 @@ def test_benchmarker_smoke(tmp_path):
     results = GNNBenchmarker(cfg).run(epochs=2, datasets=["KarateClub"])
     models = {r["model"] for r in results}
     assert "ProtGramDirectGCN" in models
-    assert len(models) == 8
+    assert "ProtGramDirectGCN_shallow" in models  # context row, see benchmarker
+    assert len(models) == 9
     assert all("test_accuracy" in r for r in results)
     # Provenance stamp rides every row into the CSVs (KarateClub is real).
     assert all(r["synthetic"] is False for r in results)
