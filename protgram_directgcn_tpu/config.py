@@ -269,7 +269,22 @@ class BenchmarkConfig:
     # Directory containing real dataset raw files (<Name>/raw/...) in the
     # standard Planetoid/WebKB layouts; synthetic stand-ins are used when
     # absent (no network egress).  Set via --set benchmark.dataset_root=...
+    # (tools/fetch_datasets.py downloads + checksum-validates them in
+    # egress-enabled environments.)
     dataset_root: Optional[Path] = None
+    # Datasets whose rows are averaged over ``n_seeds`` seeds (init AND
+    # split re-drawn): KarateClub's 10%-of-34 val split makes single-seed
+    # best-val checkpointing near-random.
+    seed_average_datasets: List[str] = field(default_factory=lambda: ["KarateClub"])
+    n_seeds: int = 10
+    # Adds the ProtGramDirectGCN_norm context row: the same deep
+    # architecture fed the production sqrt-normalized 𝒜 operators it was
+    # designed for (the raw-adjacency adapter collapses deep stacks —
+    # adjudicated in experiments/exp_benchmark_collapse.py) plus a
+    # non-degenerate decoder width.
+    normalized_row: bool = True
+    norm_row_dropout: float = 0.2
+    norm_row_decoder_floor: int = 8
 
 
 @dataclass

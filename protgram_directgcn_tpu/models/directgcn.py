@@ -47,6 +47,15 @@ class DirectGCNConfig:
     use_vector_coeffs: bool = True
     l2_eps: float = 1e-12
     leaky_relu_slope: float = 0.01
+    # Minimum decoder hidden width.  The reference sizes the decoder hidden
+    # layer as ``final_dim // 2`` (reference: protgram_directgcn.py:173-174);
+    # when layer_dims ends at num_classes (the benchmark adapter,
+    # reference: gnn_benchmarker.py:325) a 2-class task gets a WIDTH-1 ReLU
+    # bottleneck whose uniform-sign pre-activation pins the whole network to
+    # one argmax (experiments/exp_benchmark_collapse.py).  Default 1 keeps
+    # exact reference parity; the benchmark's ProtGramDirectGCN_norm row
+    # raises it.
+    decoder_hidden_floor: int = 1
     fused: bool = True
     use_pallas: bool = False
     # Rematerialise each GCN layer on the backward pass (jax.checkpoint):
@@ -154,7 +163,7 @@ def init_directgcn_params(key: jax.Array, cfg: DirectGCNConfig) -> Params:
             res_projs.append(None)  # identity residual
 
     final_dim = dims[-1]
-    hidden = final_dim // 2 if final_dim > 1 else 1
+    hidden = max(final_dim // 2 if final_dim > 1 else 1, cfg.decoder_hidden_floor)
     dk = jax.random.split(keys[n_layers], 2)
     dw1, db1 = _torch_linear_init(dk[0], final_dim, hidden)
     dw2, db2 = _torch_linear_init(dk[1], hidden, cfg.num_classes)

@@ -105,11 +105,15 @@ def test_benchmarker_smoke(tmp_path):
     cfg.benchmark.test_on_undirected = True
     cfg.benchmark.save_embeddings = True
     cfg.benchmark.pca_target_dim = 4
+    cfg.benchmark.n_seeds = 2  # exercise seed averaging without the full 10
     results = GNNBenchmarker(cfg).run(epochs=2, datasets=["KarateClub"])
     models = {r["model"] for r in results}
     assert "ProtGramDirectGCN" in models
     assert "ProtGramDirectGCN_shallow" in models  # context row, see benchmarker
-    assert len(models) == 9
+    assert "ProtGramDirectGCN_norm" in models  # production-operator row
+    assert len(models) == 10
+    # Seed-averaged rows carry the spread (KarateClub is seed-averaged).
+    assert all(r["n_seeds"] == 2 and "test_accuracy_std" in r for r in results)
     assert all("test_accuracy" in r for r in results)
     # Provenance stamp rides every row into the CSVs (KarateClub is real).
     assert all(r["synthetic"] is False for r in results)
@@ -126,3 +130,53 @@ def test_benchmarker_smoke(tmp_path):
     records = read_metrics(tmp_path / "4_benchmarking_results" / "run_benchmark")
     assert {r["model"] for r in records if "model" in r} == models
     assert (tmp_path / "4_benchmarking_results" / "run_benchmark" / "params.json").exists()
+
+
+def test_decoder_hidden_floor():
+    """decoder_hidden_floor=1 keeps the reference formula (final//2, min 1);
+    raising it widens only degenerate heads (the 2-class width-1 bottleneck,
+    experiments/exp_benchmark_collapse.py)."""
+    from protgram_directgcn_tpu.models.directgcn import (
+        DirectGCNConfig, init_directgcn_params,
+    )
+
+    for floor, final, want in ((1, 2, 1), (8, 2, 8), (8, 64, 32), (1, 64, 32)):
+        cfg = DirectGCNConfig(
+            layer_dims=(10, final), num_nodes=5, num_classes=2, n_gram_len=0,
+            decoder_hidden_floor=floor,
+        )
+        p = init_directgcn_params(jax.random.PRNGKey(0), cfg)
+        assert p["decoder"]["w1"].shape == (final, want)
+        assert p["decoder"]["w2"].shape == (want, 2)
+
+
+def test_normalized_adapter_matches_scipy_oracle(karate):
+    """The normalized benchmark adapter feeds the production A-operators:
+    propagate == scipy directgcn_propagation_matrix @ x (float64 oracle)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from protgram_directgcn_tpu.bench.gnn_benchmarker import _directgcn_device_graph
+    from protgram_directgcn_tpu.graph.transforms import (
+        coalesce_coo, directgcn_propagation_matrix,
+    )
+    from protgram_directgcn_tpu.ops.spmm import propagate
+
+    ds = karate
+    n = ds.num_nodes
+    g = _directgcn_device_graph(ds, feat_dim=8, normalized=True)
+    x = np.random.default_rng(0).normal(size=(n, 8)).astype(np.float32)
+    a_out = coalesce_coo(
+        ds.edge_index[0].astype(np.int32), ds.edge_index[1].astype(np.int32),
+        np.ones(ds.edge_index.shape[1], np.float32), n,
+    )
+    # adapter convention: propagate(build(s,t,w), x)[t] += w*x[s] => M[t,s]=w;
+    # csr_to_coo_arrays feeds (row, col) as (s, t), so the device op applies
+    # the scipy matrix TRANSPOSED — the A-operators are symmetric, so the
+    # oracle is direct.
+    for dev_m, a_w in ((g.p_out, a_out), (g.p_in, a_out.T.tocsr())):
+        want = directgcn_propagation_matrix(a_w).astype(np.float64) @ x.astype(np.float64)
+        got = np.asarray(propagate(dev_m, jnp.asarray(x)), np.float64)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+        m = directgcn_propagation_matrix(a_w)
+        np.testing.assert_allclose((m - m.T).toarray(), 0.0, atol=1e-7)
