@@ -223,6 +223,13 @@ class EvalConfig:
 
     early_stopping_patience: int = 10
     perform_h5_integrity_check: bool = True
+    # Standardize edge features to zero mean / unit variance per CV fold
+    # (train-fold statistics only; streaming-safe).  Default OFF for exact
+    # reference parity — the reference MLP has no input normalization
+    # (reference: src/models/mlp.py:39-73), which leaves raw (un-PCA'd)
+    # embedding exports at chance (VERDICT r3 weak #5).  Turning this on
+    # lifts them without touching the stored artifacts.
+    standardize_features: bool = False
     sample_negative_pairs: Optional[int] = 100_000
     embedding_files_to_evaluate: List[Dict[str, Any]] = field(default_factory=list)
     edge_embedding_method: str = "concatenate"

@@ -443,23 +443,22 @@ def _sddmm_hyper(d, grad, x_rg, scale, layout):
     return dd, dwf * scale, dwb * scale
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _propagate_hyper_affine(layout, scale, shift, d, w1f, w1b, wf2, wb2, x):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _propagate_hyper_affine(layout, scale, shift, edge_grads, d, w1f, w1b, wf2, wb2, x):
     """w1f/w1b: the A-/Aᵀ-pattern K1 banks; wf2/wb2 the K2-side banks, all in
     the layout ``layout`` names (resolved by the caller so the lean modes
-    never pass None leaves; in "rs"/"pk" the pairs are the same arrays)."""
+    never pass None leaves; in "rs"/"pk" the pairs are the same arrays).
+    ``edge_grads`` (static) opts into the hypercube SDDMM backward."""
     return _hyper_apply(d, w1f, wb2, x, scale, shift, w_layout=layout)
 
 
-def _propagate_hyper_affine_fwd(layout, scale, shift, d, w1f, w1b, wf2, wb2, x):
-    from protgram_directgcn_tpu.ops.spmm import edge_gradients_enabled
-
+def _propagate_hyper_affine_fwd(layout, scale, shift, edge_grads, d, w1f, w1b, wf2, wb2, x):
     out = _hyper_apply(d, w1f, wb2, x, scale, shift, w_layout=layout)
-    res = (d, w1b, wf2) + ((x,) if edge_gradients_enabled() else ())
+    res = (d, w1b, wf2) + ((x,) if edge_grads else ())
     return out, res
 
 
-def _propagate_hyper_affine_bwd(layout, scale, shift, res, grad):
+def _propagate_hyper_affine_bwd(layout, scale, shift, edge_grads, res, grad):
     d, w1b, wf2 = res[:3]
     # d(scale*Mx + shift)/dx applied to grad = scale * Mᵀ grad — the scale
     # rides the backward kernels' epilogue too.
@@ -483,18 +482,21 @@ def _propagate_hyper_affine_bwd(layout, scale, shift, res, grad):
 _propagate_hyper_affine.defvjp(_propagate_hyper_affine_fwd, _propagate_hyper_affine_bwd)
 
 
-def propagate_hyper(adj: HypercubeAdj, x: jnp.ndarray) -> jnp.ndarray:
+def propagate_hyper(
+    adj: HypercubeAdj, x: jnp.ndarray, edge_grads: bool = False
+) -> jnp.ndarray:
     """out[i] = sum over edges (j -> i) of w * x[j], both in hypercube ids.
 
     ``x`` may be flat ``[A^n, F]`` (node order) or kernel-native rg layout
     ``[A, G, F]``; the output matches the input layout.  Keeping features in
     rg layout across propagations avoids a per-call relayout on TPU.
     """
-    return propagate_hyper_affine(adj, x, 1.0, 0.0)
+    return propagate_hyper_affine(adj, x, 1.0, 0.0, edge_grads=edge_grads)
 
 
 def propagate_hyper_affine(
-    adj: HypercubeAdj, x: jnp.ndarray, scale: float, shift: float
+    adj: HypercubeAdj, x: jnp.ndarray, scale: float, shift: float,
+    edge_grads: bool = False,
 ) -> jnp.ndarray:
     """Fused ``scale*(M x) + shift`` — the affine epilogue rides the
     kernels' output cast for free (layers scale/bias right after
@@ -507,7 +509,7 @@ def propagate_hyper_affine(
     w1f = adj.wf_gm if gm else adj.wf_rs
     w1b = adj.wb_gm if gm else adj.wb_rs
     out = _propagate_hyper_affine(
-        "gm" if gm else layout, float(scale), float(shift), adj.d, w1f, w1b,
-        adj.wf_rs, adj.wb_rs, x_rg,
+        "gm" if gm else layout, float(scale), float(shift), bool(edge_grads),
+        adj.d, w1f, w1b, adj.wf_rs, adj.wb_rs, x_rg,
     )
     return out.reshape(a * g, -1) if flat_in else out

@@ -41,21 +41,34 @@ from flax import struct
 
 # Off by default: the reference never learns edge weights (its adjacency is
 # a preprocessed constant, graph_utils.py:198-287), and the dw contractions
-# cost an extra sampled dense-dense product per propagation.  Enable with
-# the `edge_gradients()` context for models that train adjacency values.
+# cost an extra sampled dense-dense product per propagation.  Enable per
+# call with ``propagate(adj, x, edge_grads=True)`` — the flag is an explicit
+# static argument plumbed into the propagation custom-VJPs, so a compiled
+# function's behavior is fixed by the argument it was traced with (no
+# mutable trace-time state).  dw for the edge-list formats is the sampled
+# dense-dense product ``dw[slot] = <g[tgt], x[src]>``; the hypercube format
+# computes the per-key [A x A] outer-product contraction (ops/hypercube.py).
+# Padding slots (w == 0) receive zero gradient.
 _EDGE_GRADS = False
 
 
 @contextlib.contextmanager
 def edge_gradients(enable: bool = True):
-    """Enable SDDMM gradients w.r.t. adjacency weights (``adj.w`` leaves).
+    """DEPRECATED shim: pass ``edge_grads=True`` to :func:`propagate` /
+    :func:`propagate3` instead.
 
-    dw for the edge-list formats is the sampled dense-dense product
-    ``dw[slot] = <g[tgt], x[src]>``; the hypercube format computes the
-    per-key [A x A] outer-product contraction (ops/hypercube.py).  The flag
-    is read at TRACE time: it must be active when the surrounding jit first
-    traces, and toggling it does not invalidate already-compiled functions —
-    re-jit to switch.  Padding slots (w == 0) receive zero gradient."""
+    The context sets only the *default* that ``propagate`` resolves when its
+    ``edge_grads`` argument is None, at trace time.  Explicit arguments
+    always win.  A DeprecationWarning fires on entry."""
+    import warnings
+
+    warnings.warn(
+        "ops.spmm.edge_gradients() is deprecated: pass edge_grads=True to "
+        "propagate()/propagate3() — the context only sets a trace-time "
+        "default and cannot affect already-compiled functions.",
+        DeprecationWarning,
+        stacklevel=3,
+    )
     global _EDGE_GRADS
     prev = _EDGE_GRADS
     _EDGE_GRADS = bool(enable)
@@ -455,17 +468,17 @@ def _sddmm_ell(idx: jnp.ndarray, w: jnp.ndarray, x: jnp.ndarray, g: jnp.ndarray)
     return jnp.where(w != 0, dw, 0.0).astype(w.dtype)
 
 
-@jax.custom_vjp
-def _propagate_ell(idx, w, idx_t, w_t, x):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _propagate_ell(edge_grads, idx, w, idx_t, w_t, x):
     return _ell_apply(idx, w, x)
 
 
-def _propagate_ell_fwd(idx, w, idx_t, w_t, x):
-    res = (idx, w, idx_t, w_t) + ((x,) if _EDGE_GRADS else ())
+def _propagate_ell_fwd(edge_grads, idx, w, idx_t, w_t, x):
+    res = (idx, w, idx_t, w_t) + ((x,) if edge_grads else ())
     return _ell_apply(idx, w, x), res
 
 
-def _propagate_ell_bwd(res, g):
+def _propagate_ell_bwd(edge_grads, res, g):
     idx, w, idx_t, w_t = res[:4]
     dx = _ell_apply(idx_t, w_t, g)  # transpose-orientation gather, no scatter
     z_i = np.zeros(idx.shape, dtype=jax.dtypes.float0)
@@ -487,17 +500,17 @@ def _bucketed_apply(idx_tuple, w_tuple, inv_perm, x):
     return jnp.concatenate(outs, axis=0)[inv_perm]
 
 
-@jax.custom_vjp
-def _propagate_bucketed(idx, w, inv_perm, idx_t, w_t, inv_perm_t, x):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _propagate_bucketed(edge_grads, idx, w, inv_perm, idx_t, w_t, inv_perm_t, x):
     return _bucketed_apply(idx, w, inv_perm, x)
 
 
-def _propagate_bucketed_fwd(idx, w, inv_perm, idx_t, w_t, inv_perm_t, x):
-    res = (idx, w, inv_perm, idx_t, w_t, inv_perm_t) + ((x,) if _EDGE_GRADS else ())
+def _propagate_bucketed_fwd(edge_grads, idx, w, inv_perm, idx_t, w_t, inv_perm_t, x):
+    res = (idx, w, inv_perm, idx_t, w_t, inv_perm_t) + ((x,) if edge_grads else ())
     return _bucketed_apply(idx, w, inv_perm, x), res
 
 
-def _propagate_bucketed_bwd(res, g):
+def _propagate_bucketed_bwd(edge_grads, res, g):
     idx, w, inv_perm, idx_t, w_t, inv_perm_t = res[:6]
     dx = _bucketed_apply(idx_t, w_t, inv_perm_t, g)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
@@ -533,18 +546,18 @@ def _coo_apply(src, tgt, w, x, n_out):
     return jax.ops.segment_sum(msgs, tgt, num_segments=n_out, indices_are_sorted=True)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _propagate_coo(src, tgt, w, src_t, tgt_t, w_t, n_out, n_in, x):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 7, 8))
+def _propagate_coo(edge_grads, src, tgt, w, src_t, tgt_t, w_t, n_out, n_in, x):
     return _coo_apply(src, tgt, w, x, n_out)
 
 
-def _propagate_coo_fwd(src, tgt, w, src_t, tgt_t, w_t, n_out, n_in, x):
+def _propagate_coo_fwd(edge_grads, src, tgt, w, src_t, tgt_t, w_t, n_out, n_in, x):
     # fwd receives args in original positions; bwd gets nondiff args first.
-    res = (src, tgt, w, src_t, tgt_t, w_t) + ((x,) if _EDGE_GRADS else ())
+    res = (src, tgt, w, src_t, tgt_t, w_t) + ((x,) if edge_grads else ())
     return _coo_apply(src, tgt, w, x, n_out), res
 
 
-def _propagate_coo_bwd(n_out, n_in, res, g):
+def _propagate_coo_bwd(edge_grads, n_out, n_in, res, g):
     src, tgt, w, src_t, tgt_t, w_t = res[:6]
     dx = _coo_apply(src_t, tgt_t, w_t, g, n_in)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
@@ -564,27 +577,39 @@ def _propagate_coo_bwd(n_out, n_in, res, g):
 _propagate_coo.defvjp(_propagate_coo_fwd, _propagate_coo_bwd)
 
 
-def propagate(adj: Adjacency, x: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
-    """Sum-aggregate weighted source features at each target node."""
+def propagate(
+    adj: Adjacency,
+    x: jnp.ndarray,
+    use_pallas: bool = False,
+    edge_grads: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Sum-aggregate weighted source features at each target node.
+
+    ``edge_grads=True`` additionally produces SDDMM gradients w.r.t. the
+    adjacency weight leaves under autodiff (see the module header); the flag
+    is static — it fixes the traced program's behavior explicitly.  None
+    falls back to the deprecated :func:`edge_gradients` context default."""
+    eg = bool(_EDGE_GRADS) if edge_grads is None else bool(edge_grads)
     if isinstance(adj, DenseAdj):
         # In f32 mode force full-precision MXU passes (TPU defaults to bf16);
         # in bf16 mode one pass is the intended speed/accuracy trade.
+        # (Dense weights are differentiated natively by jnp.dot.)
         precision = "highest" if adj.at.dtype == jnp.float32 else "default"
         return jnp.dot(
             adj.at, x.astype(adj.at.dtype), precision=precision, preferred_element_type=jnp.float32
         )
     if isinstance(adj, EllAdj):
-        if use_pallas:
+        if use_pallas and not eg:  # the Pallas ELL kernel has no SDDMM path
             from protgram_directgcn_tpu.ops.pallas_spmm import propagate_ell_pallas
 
             return propagate_ell_pallas(adj, x)
-        return _propagate_ell(adj.idx, adj.w, adj.idx_t, adj.w_t, x)
+        return _propagate_ell(eg, adj.idx, adj.w, adj.idx_t, adj.w_t, x)
     if isinstance(adj, BucketedEllAdj):
         return _propagate_bucketed(
-            adj.idx, adj.w, adj.inv_perm, adj.idx_t, adj.w_t, adj.inv_perm_t, x
+            eg, adj.idx, adj.w, adj.inv_perm, adj.idx_t, adj.w_t, adj.inv_perm_t, x
         )
     if isinstance(adj, CooAdj):
-        return _propagate_coo(adj.src, adj.tgt, adj.w, adj.src_t, adj.tgt_t, adj.w_t, adj.n_out, adj.n_in, x)
+        return _propagate_coo(eg, adj.src, adj.tgt, adj.w, adj.src_t, adj.tgt_t, adj.w_t, adj.n_out, adj.n_in, x)
     from protgram_directgcn_tpu.ops import block as _block
 
     if isinstance(adj, _block.BlockNgramAdj):
@@ -592,7 +617,7 @@ def propagate(adj: Adjacency, x: jnp.ndarray, use_pallas: bool = False) -> jnp.n
     from protgram_directgcn_tpu.ops import hypercube as _hyper
 
     if isinstance(adj, _hyper.HypercubeAdj):
-        return _hyper.propagate_hyper(adj, x)
+        return _hyper.propagate_hyper(adj, x, edge_grads=eg)
     # Distributed adjacencies (imported lazily to avoid a cycle).
     from protgram_directgcn_tpu.parallel import halo as _halo
 
@@ -606,7 +631,7 @@ def propagate(adj: Adjacency, x: jnp.ndarray, use_pallas: bool = False) -> jnp.n
 
 
 def propagate3(graph, x_in: jnp.ndarray, x_out: jnp.ndarray, x_und: jnp.ndarray,
-               use_pallas: bool = False):
+               use_pallas: bool = False, edge_grads: Optional[bool] = None):
     """The three per-path propagations of a DirectGCN layer:
     ``(P_in x_in, P_out x_out, P_und x_und)``.
 
@@ -628,16 +653,16 @@ def propagate3(graph, x_in: jnp.ndarray, x_out: jnp.ndarray, x_und: jnp.ndarray,
         # and the 4-layer 5-gram train step misses the 16 GB chip by
         # ~190 MB.  The kernels run serially on the single core anyway;
         # only some DMA prefetch overlap is lost.
-        pi = propagate(graph.p_in, x_in, use_pallas)
+        pi = propagate(graph.p_in, x_in, use_pallas, edge_grads)
         x_out, pi = jax.lax.optimization_barrier((x_out, pi))
-        po = propagate(graph.p_out, x_out, use_pallas)
+        po = propagate(graph.p_out, x_out, use_pallas, edge_grads)
         x_und, po = jax.lax.optimization_barrier((x_und, po))
-        pu = propagate(graph.p_und, x_und, use_pallas)
+        pu = propagate(graph.p_und, x_und, use_pallas, edge_grads)
         return pi, po, pu
     return (
-        propagate(graph.p_in, x_in, use_pallas),
-        propagate(graph.p_out, x_out, use_pallas),
-        propagate(graph.p_und, x_und, use_pallas),
+        propagate(graph.p_in, x_in, use_pallas, edge_grads),
+        propagate(graph.p_out, x_out, use_pallas, edge_grads),
+        propagate(graph.p_und, x_und, use_pallas, edge_grads),
     )
 
 

@@ -261,6 +261,30 @@ class PPIPipeline:
         roc_repr = None
         rng = np.random.default_rng(cfg.random_state)
         for fold_i, (tr, te) in enumerate(folds):
+            if ev.standardize_features:
+                # Train-fold mean/std in one streaming pass (float64
+                # accumulators); applied to every batch of this fold.  Off by
+                # default: the reference MLP takes features raw
+                # (reference: mlp.py:39-73).
+                s = np.zeros(feat_dim, np.float64)
+                ss = np.zeros(feat_dim, np.float64)
+                cnt = 0
+                for bx, _ in batches_for(tr):
+                    b = bx.astype(np.float64)
+                    s += b.sum(0)
+                    ss += (b * b).sum(0)
+                    cnt += len(b)
+                mu = (s / max(cnt, 1)).astype(np.float32)
+                sd = np.sqrt(
+                    np.maximum(ss / max(cnt, 1) - (s / max(cnt, 1)) ** 2, 0.0)
+                ).astype(np.float32)
+                sd[sd < 1e-6] = 1.0
+
+                def fold_batches(indices, shuffle_rng=None, _mu=mu, _sd=sd):
+                    for bx, by in batches_for(indices, shuffle_rng):
+                        yield (bx.astype(np.float32) - _mu) / _sd, by
+            else:
+                fold_batches = batches_for
             y_tr = labels[tr]
             # Class weights: n / (2 * count_c) (sklearn 'balanced' convention,
             # reference: ppi_main.py:113-121).
@@ -290,14 +314,14 @@ class PPIPipeline:
                 # array (VERDICT r2 weak #5) — only the tiny probability
                 # vector accumulates.
                 probs = [
-                    trainer.predict_proba(b) for b, _ in batches_for(indices)
+                    trainer.predict_proba(b) for b, _ in fold_batches(indices)
                 ]
                 return (
                     np.concatenate(probs) if probs else np.zeros(0, np.float32)
                 )
 
             for _ in range(ev.epochs):
-                loss = trainer.fit_epoch(batches_for(tr, shuffle_rng=rng), cw)
+                loss = trainer.fit_epoch(fold_batches(tr, shuffle_rng=rng), cw)
                 history["loss"].append(float(loss))
                 if ev.plot_training_history:
                     val_acc = float(((predict_over(te) >= 0.5) == labels[te]).mean())

@@ -1,5 +1,6 @@
-"""SDDMM: gradients w.r.t. adjacency weights (opt-in via
-ops.spmm.edge_gradients) vs a dense float64 oracle, on every format.
+"""SDDMM: gradients w.r.t. adjacency weights (opt-in via the static
+``propagate(..., edge_grads=True)`` argument) vs a dense float64 oracle, on
+every format.
 
 The reference never learns edge weights (its adjacency is a preprocessed
 constant, reference: graph_utils.py:198-287); this capability is the
@@ -46,12 +47,11 @@ def _loss_grad_w(adj, w_leaves, x, r):
 
     def loss(*ws):
         adj2 = adj.replace(**dict(zip(w_leaves, ws)))
-        return jnp.sum(spmm.propagate(adj2, x) * r)
+        return jnp.sum(spmm.propagate(adj2, x, edge_grads=True) * r)
 
-    with spmm.edge_gradients():
-        return jax.grad(loss, argnums=tuple(range(len(w_leaves))))(
-            *[getattr(adj, k) for k in w_leaves]
-        )
+    return jax.grad(loss, argnums=tuple(range(len(w_leaves))))(
+        *[getattr(adj, k) for k in w_leaves]
+    )
 
 
 def test_sddmm_ell_matches_oracle(toy_coo):
@@ -107,10 +107,11 @@ def test_sddmm_bucketed_matches_oracle(toy_coo):
     r = rng.normal(size=(n, 8)).astype(np.float32)
 
     def loss(wt):
-        return jnp.sum(spmm.propagate(adj.replace(w=wt), jnp.asarray(x)) * r)
+        return jnp.sum(
+            spmm.propagate(adj.replace(w=wt), jnp.asarray(x), edge_grads=True) * r
+        )
 
-    with spmm.edge_gradients():
-        dw = jax.grad(loss)(adj.w)
+    dw = jax.grad(loss)(adj.w)
     want = _oracle_dw(src, tgt, r, x)
     inv_perm = np.asarray(adj.inv_perm)
     orig_of_perm = np.empty(n, np.int64)
@@ -221,3 +222,30 @@ def test_sddmm_hypercube_matches_oracle(trigram_graph, layouts):
             np.testing.assert_allclose(got, want[e], rtol=1e-4)
             checked_b += 1
     assert checked_f > 0 and checked_b > 0
+
+
+def test_edge_gradients_context_is_deprecated_shim(toy_coo):
+    """The legacy context still works as a trace-time default but warns;
+    the explicit argument always wins over it."""
+    import warnings
+
+    src, tgt, w, n = toy_coo
+    adj = spmm.build_ell(src, tgt, w, n)
+    x = jnp.ones((n, 4), jnp.float32)
+
+    def loss(wv):
+        return jnp.sum(spmm.propagate(adj.replace(w=wv), x))
+
+    with pytest.warns(DeprecationWarning):
+        with spmm.edge_gradients():
+            dw = np.asarray(jax.grad(loss)(adj.w))
+    assert np.any(dw[np.asarray(adj.w) != 0] != 0.0)
+
+    # Explicit False beats the context default.
+    def loss_off(wv):
+        return jnp.sum(spmm.propagate(adj.replace(w=wv), x, edge_grads=False))
+
+    with pytest.warns(DeprecationWarning):
+        with spmm.edge_gradients():
+            dw_off = np.asarray(jax.grad(loss_off)(adj.w))
+    assert np.all(dw_off == 0.0)

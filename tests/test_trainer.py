@@ -469,3 +469,58 @@ def test_staged_step_matches_fused(built_graphs, tmp_path):
     )
     np.testing.assert_allclose(float(loss1), float(loss3), rtol=1e-5)
     assert_params_close(p1, p3)
+
+
+def test_staged_step_refuses_different_shape_graph(built_graphs, tmp_path):
+    """The manual per-layer backward pins the rg lead it was traced for;
+    reusing the compiled step with a different-shape graph must raise
+    instead of silently mis-slicing through the stale traced constant
+    (VERDICT r3 weak #8)."""
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+    from protgram_directgcn_tpu.graph import transforms
+    from protgram_directgcn_tpu.graph.structure import DeviceGraph, load_graph
+    from protgram_directgcn_tpu.models.directgcn import (
+        DirectGCNConfig, init_directgcn_params,
+    )
+    from protgram_directgcn_tpu.ops import hypercube
+    from protgram_directgcn_tpu.pipeline.trainer import (
+        make_optimizer, make_train_step_staged,
+    )
+
+    g = load_graph(built_graphs / "ngram_graph_n2.npz")
+    codes, alpha = hypercube.vocab_char_codes(g.vocab)
+
+    def hyper(m):
+        s, t, v = transforms.csr_to_coo_arrays(m)
+        return hypercube.build_hypercube(s, t, v, codes, alpha)
+
+    p_in = hyper(g.mathcal_a_in())
+    dg = DeviceGraph(
+        p_in=p_in, p_out=hyper(g.mathcal_a_out()), p_und=hyper(g.undirected_norm()),
+        num_nodes=p_in.n_out, node_map=p_in.node_map,
+    )
+    a, gd = p_in.feature_shape
+    nh = dg.num_nodes
+    cfg = DirectGCNConfig(
+        layer_dims=(16, 24, 8), num_nodes=nh, num_classes=5, n_gram_len=2,
+        max_pe_len=0, remat=True, remat_paths=True,
+    )
+    params = init_directgcn_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (a, gd, 16))
+    y = jax.random.randint(jax.random.PRNGKey(2), (nh,), 0, 5, jnp.int32)
+    mask = jnp.ones((nh,), jnp.float32)
+
+    staged = make_train_step_staged(
+        cfg, lambda: make_optimizer(1e-3, 0.0), 1e-5, split=[1, 2]
+    )
+    assert staged.manual_fns, "expected manual per-layer backward stages"
+    staged(params, staged.init_opt_state(params), dg, x, y, mask,
+           jnp.float32(1.0), jax.random.PRNGKey(3), None)
+
+    fake = SimpleNamespace(p_in=SimpleNamespace(feature_shape=(a + 1, gd)))
+    k = next(iter(staged.manual_fns))
+    with pytest.raises(ValueError, match="rg lead"):
+        staged.manual_fns[k](None, None, fake, None, None, None)
