@@ -92,3 +92,31 @@ def test_fixtures_regenerate_deterministically(tmp_path):
     ) as z_old:
         np.testing.assert_allclose(z_new["x"], z_old["x"])
         np.testing.assert_array_equal(z_new["edges"], z_old["edges"])
+
+
+def test_fetch_datasets_validation_offline(tmp_path, monkeypatch, capsys):
+    """tools/fetch_datasets validates already-present raws without egress:
+    parse via the production loaders, shape table, recorded checksums, and
+    checksum-mismatch detection on re-run."""
+    import json
+    import shutil
+
+    from tools import fetch_datasets as fd
+
+    root = tmp_path / "root"
+    import pathlib
+    fixtures = pathlib.Path(DATA)
+    shutil.copytree(fixtures / "Cora", root / "Cora")
+    truth = np.load(fixtures / "Cora_truth.npz", allow_pickle=True)
+    n, f = truth["x"].shape
+    c = int(truth["y"].max()) + 1
+    monkeypatch.setitem(fd.EXPECTED_SHAPES, "Cora", (n, f, c))
+
+    assert fd.fetch(str(root), ["Cora"], None) == 0
+    checks = json.loads((root / "checksums.json").read_text())
+    assert any(k.endswith("ind.cora.x") for k in checks)
+
+    # Tamper with a raw file: the recorded checksums catch it on re-run.
+    target = root / "Cora" / "raw" / "ind.cora.test.index"
+    target.write_bytes(target.read_bytes() + b"\n9")
+    assert fd.fetch(str(root), ["Cora"], None) >= 1
