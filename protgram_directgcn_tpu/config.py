@@ -175,6 +175,15 @@ class GCNConfig:
     # Sparse format selection: "auto" picks dense vs ELL by a roofline byte
     # model; can be forced to "dense", "ell", or "pallas".
     spmm_mode: str = "auto"
+    # What to do when NO memory tier fits the level on the chip(s) — e.g. the
+    # reference-default [256, 128, 64] dims at 5-gram scale on one 16 GB v5e
+    # (3.7 GB of bf16 per-node constants + moments + carries exceed HBM even
+    # fully staged).  "degrade": halve hidden_layer_dims until the plan fits
+    # and log the substitution loudly (out-of-the-box runs complete end to
+    # end); "error": raise immediately with the two one-line fixes (set
+    # parallel.mesh_nodes >= K, or set gcn.hidden_layer_dims = [...]) instead
+    # of dying minutes into compilation.
+    oversize_policy: str = "degrade"
 
 
 @dataclass

@@ -320,14 +320,70 @@ def test_level_plan_toy_stays_f32(tmp_path, built_graphs):
 
 
 def test_level_plan_explicit_knobs_override(tmp_path):
+    # 4-gram scale: forced f32 still FITS there (at 5-gram it honestly
+    # cannot, and the plan now raises/degrades instead of emitting a plan
+    # that dies in compile — covered by the oversize tests below).
     trainer = HierarchicalTrainer(
         small_config(tmp_path, compute_dtype="float32", remat=True)
     )
     trainer.gcn.hidden_layer_dims = [128, 128, 64, 64, 32]
     trainer._hbm_override = 15 << 30
-    plan = trainer._level_plan(_five_gram_stub(), feat_dim=128)
+    chars = list("ACDEFGHIKLMNPQRSTVWY ")
+    vocab = ["".join(chars[(i + j) % 21] for j in range(4)) for i in range(21)]
+    plan = trainer._level_plan(_FakeGraph(np.array(vocab), n=4), feat_dim=128)
     assert plan.compute_dtype == "float32"  # explicit knob wins at every tier
     assert plan.remat is True
+
+
+def test_level_plan_default_dims_degrade(tmp_path, caplog):
+    """The reference-default [256,128,64] dims fit NO tier at 5-gram scale on
+    one v5e — the plan must degrade loudly instead of dying in compile
+    (VERDICT r3 weak #4; reference: config.py:63)."""
+    import logging
+
+    trainer = HierarchicalTrainer(small_config(tmp_path))
+    trainer.gcn.hidden_layer_dims = [256, 128, 64]
+    trainer._hbm_override = 15 << 30
+    # feat_dim=64: at level n>=2 the input is the PREVIOUS level's embedding
+    # (the last hidden dim), not one_gram_init_dim.  The package logger has
+    # propagate=False, so caplog's root handler must be attached directly.
+    pkg_logger = logging.getLogger("protgram_tpu")
+    pkg_logger.addHandler(caplog.handler)
+    try:
+        with caplog.at_level(logging.WARNING):
+            plan = trainer._level_plan(_five_gram_stub(), feat_dim=64)
+    finally:
+        pkg_logger.removeHandler(caplog.handler)
+    assert plan.layer_dims_override is not None
+    assert all(
+        d <= c for d, c in zip(plan.layer_dims_override, [256, 128, 64])
+    ) and list(plan.layer_dims_override) != [256, 128, 64]
+    assert plan.bank_budget >= trainer._MIN_BANK
+    assert any("DEGRADING" in r.getMessage() for r in caplog.records)
+    assert any("parallel.mesh_nodes" in r.getMessage() for r in caplog.records)
+
+
+def test_level_plan_default_dims_error_policy(tmp_path):
+    trainer = HierarchicalTrainer(
+        small_config(tmp_path, oversize_policy="error")
+    )
+    trainer.gcn.hidden_layer_dims = [256, 128, 64]
+    trainer._hbm_override = 15 << 30
+    with pytest.raises(ValueError, match=r"parallel\.mesh_nodes>=\d+"):
+        trainer._level_plan(_five_gram_stub(), feat_dim=64)
+
+
+def test_level_plan_default_dims_fit_on_mesh(tmp_path):
+    """With enough node shards the configured dims fit per chip — no
+    degradation, no staged-step lever (it is single-chip-only)."""
+    cfg = small_config(tmp_path)
+    cfg.parallel.mesh_nodes = 8
+    trainer = HierarchicalTrainer(cfg)
+    trainer.gcn.hidden_layer_dims = [256, 128, 64]
+    trainer._hbm_override = 15 << 30
+    plan = trainer._level_plan(_five_gram_stub(), feat_dim=64)
+    assert plan.layer_dims_override is None
+    assert plan.stage_split == 0 and plan.remat_paths is False
 
 
 def test_optimizer_routes_by_name_not_shape():
