@@ -494,6 +494,26 @@ def propagate_hyper(
     return propagate_hyper_affine(adj, x, 1.0, 0.0, edge_grads=edge_grads)
 
 
+def propagate_hyper_transpose(adj: HypercubeAdj, x: jnp.ndarray) -> jnp.ndarray:
+    """out[j] = sum over edges (j -> i) of w * x[i] — the transpose product
+    Mᵀx, computed directly (the SAME two kernels with the banks' pattern
+    roles swapped; module header).  For manual/host-driven backward passes
+    that already hold the upstream cotangent — NOT meant to be
+    differentiated itself (use :func:`propagate_hyper` under jax.vjp for
+    that).  Layout contract as in :func:`propagate_hyper`."""
+    a, g = adj.d.shape
+    flat_in = x.ndim == 2
+    x_rg = x.reshape(a, g, x.shape[-1]) if flat_in else x
+    layout = adj.bank_layout
+    gm = layout == "dual"
+    # Transpose swaps the pattern roles: K1 consumes the Aᵀ bank, K2 the A
+    # bank — exactly the pair the autodiff backward uses.
+    w1 = adj.wb_gm if gm else adj.wb_rs
+    w2 = adj.wf_rs
+    out = _hyper_apply(adj.d, w1, w2, x_rg, 1.0, 0.0, w_layout="gm" if gm else layout)
+    return out.reshape(a * g, -1) if flat_in else out
+
+
 def propagate_hyper_affine(
     adj: HypercubeAdj, x: jnp.ndarray, scale: float, shift: float,
     edge_grads: bool = False,

@@ -630,6 +630,41 @@ def propagate(
     raise TypeError(f"Unknown adjacency type: {type(adj)}")
 
 
+def propagate_transpose(adj: Adjacency, x: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
+    """The transpose product ``Mᵀ x``: out[j] = sum over edges (j -> i) of
+    w * x[i].  Every format stores its transpose pair, so this is a direct
+    dispatch with the roles swapped — for manual/host-driven backward passes
+    that already hold the upstream cotangent (the staged trainer's per-path
+    layer backward).  NOT meant to be differentiated itself; differentiate
+    :func:`propagate` instead."""
+    if isinstance(adj, DenseAdj):
+        precision = "highest" if adj.at.dtype == jnp.float32 else "default"
+        return jnp.dot(
+            adj.at.T, x.astype(adj.at.dtype), precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+    if isinstance(adj, EllAdj):
+        if use_pallas:
+            from protgram_directgcn_tpu.ops.pallas_spmm import propagate_ell_pallas
+
+            return propagate_ell_pallas(EllAdj(idx=adj.idx_t, w=adj.w_t, idx_t=adj.idx, w_t=adj.w), x)
+        return _propagate_ell(False, adj.idx_t, adj.w_t, adj.idx, adj.w, x)
+    if isinstance(adj, BucketedEllAdj):
+        return _propagate_bucketed(
+            False, adj.idx_t, adj.w_t, adj.inv_perm_t, adj.idx, adj.w, adj.inv_perm, x
+        )
+    if isinstance(adj, CooAdj):
+        return _propagate_coo(
+            False, adj.src_t, adj.tgt_t, adj.w_t, adj.src, adj.tgt, adj.w,
+            adj.n_in, adj.n_out, x,
+        )
+    from protgram_directgcn_tpu.ops import hypercube as _hyper
+
+    if isinstance(adj, _hyper.HypercubeAdj):
+        return _hyper.propagate_hyper_transpose(adj, x)
+    raise TypeError(f"propagate_transpose: unsupported adjacency {type(adj)}")
+
+
 def propagate3(graph, x_in: jnp.ndarray, x_out: jnp.ndarray, x_und: jnp.ndarray,
                use_pallas: bool = False, edge_grads: Optional[bool] = None):
     """The three per-path propagations of a DirectGCN layer:

@@ -481,12 +481,20 @@ def make_train_step_staged(
 
     def make_interior_grad_manual(k):
         from protgram_directgcn_tpu.models.directgcn import pack_rg_carry
-        from protgram_directgcn_tpu.ops.spmm import propagate
+        from protgram_directgcn_tpu.ops.spmm import propagate, propagate_transpose
 
         li = ranges[k][0]  # absolute layer index
         in_dim = model_cfg.layer_dims[li]
         out_dim = model_cfg.layer_dims[li + 1]
         f_pad = -(-out_dim // 128) * 128
+        # Sub-128 widths pack below the lane tile: the per-path propagation
+        # outputs y are cheap enough to SAVE across the S recompute
+        # (261-523 MB each at 5-gram scale), which drops each path backward
+        # from recompute-forward + transpose (2 propagations + a projection
+        # matmul) to the transpose propagation alone — 9 -> 6 propagations
+        # per layer backward (VERDICT r3 next-step #2 / CLAUDE.md lead (c)).
+        # 128-wide outputs would cost a full ~1 GB per path; keep recompute.
+        save_y = out_dim < 128 and 128 % out_dim == 0
         ct = jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else jnp.float32
         use_pallas = model_cfg.use_pallas
         slope = model_cfg.leaky_relu_slope
@@ -526,12 +534,13 @@ def make_train_step_staged(
             xc = _unpack(carry, in_dim, lead).astype(ct)
             gates = _gate_products(lp, lead)
             acc = None
+            ys = []
             for (wk, bm, bs, adj_attr), gate in zip(_PATHS, gates):
                 proj = xc @ wp(lp[wk] + lp["w_shared"]).astype(ct)
-                contrib = gate.astype(ct) * (
-                    propagate(getattr(graph, adj_attr), proj, use_pallas)
-                    + bp(lp[bm] + lp[bs]).astype(ct)
-                )
+                y = propagate(getattr(graph, adj_attr), proj, use_pallas)
+                if save_y:
+                    ys.append(pack_rg_carry(y[..., :out_dim]))
+                contrib = gate.astype(ct) * (y + bp(lp[bm] + lp[bs]).astype(ct))
                 if acc is None:
                     acc = contrib
                 else:
@@ -543,7 +552,7 @@ def make_train_step_staged(
                 else xc @ rp["w"].astype(xc.dtype) + rp["b"].astype(xc.dtype)
             )
             s = s + res
-            return pack_rg_carry(s.astype(ct))
+            return pack_rg_carry(s.astype(ct)), tuple(ys)
 
         @functools.partial(jax.jit, donate_argnums=(3, 4))
         def tail_bwd(lp, rp, carry, s_packed, g_packed, rng):
@@ -575,6 +584,34 @@ def make_train_step_staged(
         def make_path_bwd(i):
             wk, bm, bs, adj_attr = _PATHS[i]
 
+            @functools.partial(jax.jit, donate_argnums=(3, 5))
+            def path_bwd_saved(lp, graph, carry, y_p, ds_packed, dxc_acc):
+                # Saved-y variant: no forward recompute — yb comes from the
+                # packed y the S stage emitted; only the TRANSPOSE
+                # propagation runs here.
+                lead = _rg_lead(graph)
+                xc = _unpack(carry, in_dim, lead).astype(ct)
+                gate = _gate_products(lp, lead)[i].astype(ct)
+                wc = wp(lp[wk] + lp["w_shared"]).astype(ct)
+                adj = getattr(graph, adj_attr)
+                du = _unpack(ds_packed, out_dim, lead)
+                y = _unpack(y_p, out_dim, lead)
+                yb = y + (lp[bm] + lp[bs]).astype(ct)
+                dgate = jnp.sum(
+                    (du * yb).astype(jnp.float32), axis=-1, keepdims=True
+                )
+                if f_pad != out_dim:
+                    du = jnp.pad(du, ((0, 0), (0, 0), (0, f_pad - out_dim)))
+                dprop = gate * du
+                db = jnp.sum(dprop.astype(jnp.float32), axis=(0, 1))[:out_dim]
+                dprop, dgate, db = jax.lax.optimization_barrier((dprop, dgate, db))
+                dproj = propagate_transpose(adj, dprop, use_pallas)
+                dw = jnp.einsum(
+                    "...i,...o->io", xc, dproj, preferred_element_type=jnp.float32
+                )[:, :out_dim]
+                dxc = jnp.einsum("...o,io->...i", dproj, wc)
+                return dw, db, dgate, dxc_acc + dxc
+
             @functools.partial(jax.jit, donate_argnums=(4,))
             def path_bwd(lp, graph, carry, ds_packed, dxc_acc):
                 lead = _rg_lead(graph)
@@ -604,7 +641,7 @@ def make_train_step_staged(
                 dxc = jnp.einsum("...o,io->...i", dproj, wc)
                 return dw, db, dgate, dxc_acc + dxc
 
-            return path_bwd
+            return path_bwd_saved if save_y else path_bwd
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def assemble_update(pk, opt_state, parts):
@@ -672,13 +709,18 @@ def make_train_step_staged(
             graph_ref[0] = graph
             lp = pk["layers"][0]
             rp = pk["res_projs"][0]
-            s_p = s_fwd(lp, rp, graph, carry)
+            s_p, ys = s_fwd(lp, rp, graph, carry)
             _sync(f"s_fwd{k}", s_p)
             ds_p, dxc, dwres = tail_bwd(lp, rp, carry, s_p, g_next, rng)
             _sync(f"tail{k}", ds_p)
             dws, dbs, dgates = [], [], []
             for i in range(3):
-                dw, db, dgate, dxc = path_bwds[i](lp, graph, carry, ds_p, dxc)
+                if save_y:
+                    dw, db, dgate, dxc = path_bwds[i](
+                        lp, graph, carry, ys[i], ds_p, dxc
+                    )
+                else:
+                    dw, db, dgate, dxc = path_bwds[i](lp, graph, carry, ds_p, dxc)
                 _sync(f"path{k}.{i}", dxc)
                 dws.append(dw)
                 dbs.append(db)

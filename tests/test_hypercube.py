@@ -394,3 +394,20 @@ def test_pk_bank_mode_matches_dual(trigram_graph):
     np.testing.assert_allclose(
         np.asarray(out_pk), np.asarray(out_gm), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("layouts", ["dual", "rs", "pk"])
+def test_propagate_hyper_transpose_matches_oracle(trigram_graph, layouts):
+    """Mᵀx via the swapped-bank kernel pair equals the dense transpose (the
+    staged trainer's manual path backward calls this directly)."""
+    g = trigram_graph
+    src, tgt, val = transforms.csr_to_coo_arrays(g.mathcal_a_out())
+    codes, alpha = hypercube.vocab_char_codes(g.vocab)
+    adj = hypercube.build_hypercube(src, tgt, val, codes, alpha, bank_layouts=layouts)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(adj.n_out, 8)).astype(np.float32)
+    out = np.asarray(spmm.propagate_transpose(adj, jnp.asarray(x)))
+    at = np.zeros((adj.n_out, adj.n_out), dtype=np.float64)
+    hyper = np.asarray(adj.node_map)
+    np.add.at(at, (hyper[np.asarray(tgt)], hyper[np.asarray(src)]), val)
+    np.testing.assert_allclose(out, at.T @ x, rtol=1e-4, atol=1e-4)

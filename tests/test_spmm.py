@@ -128,3 +128,20 @@ def test_bucketed_skewed_graph():
     x = rng.normal(size=(n, 8)).astype(np.float32)
     out = np.asarray(spmm.propagate(adj, jnp.asarray(x)))
     np.testing.assert_allclose(out, dense_oracle(src, tgt, w, n, x), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["dense", "ell", "coo", "bucketed"])
+def test_propagate_transpose_matches_oracle(graph_and_x, mode):
+    """propagate_transpose computes Mᵀx directly — the staged trainer's
+    manual per-path backward uses it in place of a jax.vjp that would
+    recompute the forward propagation it does not need."""
+    n, src, tgt, w, x = graph_and_x
+    adj = (
+        spmm.build_bucketed_ell(src, tgt, w, n)
+        if mode == "bucketed"
+        else spmm.build_adjacency(src, tgt, w, n, mode=mode)
+    )
+    out = np.asarray(spmm.propagate_transpose(adj, jnp.asarray(x)))
+    at = np.zeros((n, n), dtype=np.float64)
+    np.add.at(at, (tgt, src), w)
+    np.testing.assert_allclose(out, at.T @ x, rtol=1e-4, atol=1e-4)
