@@ -164,6 +164,30 @@ class SkipGramModel:
     def save(self, path: os.PathLike):
         np.savez_compressed(path, vocab=np.array(self.vocab), vectors=self.vectors())
 
+    def save_word2vec_format(self, path: os.PathLike, binary: bool = True):
+        """Write the standard word2vec C format — the interchange format
+        ``gensim.models.KeyedVectors.load_word2vec_format`` reads, so
+        downstream gensim consumers of the reference's ``.model`` artifact
+        (reference: word2vec_embedder.py:102-104) can load this framework's
+        vectors without gensim being installed HERE.
+
+        Binary layout: ascii header ``"<vocab> <dim>\\n"``, then per token
+        ``b"<token> "`` followed by ``dim`` little-endian float32s and a
+        newline.  Text layout: header then one ``"<token> v1 v2 ..."`` line
+        per token."""
+        vecs = self.vectors().astype(np.float32)
+        with open(path, "wb") as f:
+            f.write(f"{len(self.vocab)} {vecs.shape[1]}\n".encode("utf8"))
+            for token, row in zip(self.vocab, vecs):
+                if binary:
+                    f.write(token.encode("utf8") + b" ")
+                    f.write(row.astype("<f4").tobytes())
+                    f.write(b"\n")
+                else:
+                    f.write(
+                        (token + " " + " ".join(repr(float(v)) for v in row) + "\n").encode("utf8")
+                    )
+
     @classmethod
     def load(cls, path: os.PathLike) -> "SkipGramModel":
         with np.load(path, allow_pickle=False) as z:
@@ -213,7 +237,16 @@ class Word2VecEmbedder:
                     w2v.batch_size, counts, seed=cfg.random_state, sample=w2v.sample)
         model_path = os.path.join(str(output_dir), f"word2vec_model_dim{w2v.vector_size}.npz")
         model.save(model_path)
-        logger.info("skip-gram model saved to %s (%.1fs)", model_path, time.time() - t0)
+        # Gensim-interchange artifact alongside the npz (the reference saves
+        # a gensim ``.model``; this is the portable equivalent).
+        kv_path = os.path.join(
+            str(output_dir), f"word2vec_model_dim{w2v.vector_size}.vectors.bin"
+        )
+        model.save_word2vec_format(kv_path, binary=True)
+        logger.info(
+            "skip-gram model saved to %s (+ gensim-format %s) (%.1fs)",
+            model_path, kv_path, time.time() - t0,
+        )
 
         # Optional id mapping from the GCN pipeline's TSV (reference behavior:
         # word2vec_embedder.py:54-61).

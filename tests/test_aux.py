@@ -130,3 +130,27 @@ def test_metric_logger_mirrors_into_mlflow_when_importable(tmp_path, monkeypatch
     assert calls["artifacts"] == [str(art)]
     # JSONL written regardless.
     assert read_metrics(tmp_path / "run_mlflow")[0]["x"] == 1.5
+
+
+def test_bootstrap_env_dry_run(tmp_path, capsys):
+    """tools/bootstrap_env plans a venv + ordered installs + verification
+    (replacement for the reference conda bootstrap,
+    reference: create_environment.py:53-112) without touching the system."""
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "bootstrap_env", os.path.join(os.path.dirname(__file__), "..", "tools", "bootstrap_env.py")
+    )
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    env_dir = str(tmp_path / "venv")
+    assert mod.main([env_dir, "--dry-run"]) == 0
+    out = capsys.readouterr().out
+    assert "-m venv" in out and "jax[tpu]" in out and "libtpu_releases" in out
+    assert "doctor.py" in out
+    assert not os.path.exists(env_dir)  # dry run executed nothing
+
+    assert mod.main(["--print-requirements"]) == 0
+    reqs = capsys.readouterr().out.splitlines()
+    assert any(r.startswith("jax[tpu]") for r in reqs) and "flax" in reqs

@@ -239,3 +239,107 @@ def test_main_cli_graph_stage(toy_fasta, tmp_path):
     )
     assert result.returncode == 0, result.stderr[-2000:]
     assert (tmp_path / "o" / "1_graph_objects" / "ngram_graph_n2.npz").exists()
+
+
+def test_word2vec_gensim_format_roundtrip(tmp_path):
+    """The word2vec C binary/text artifacts parse back to the exact vectors
+    (the format gensim.KeyedVectors.load_word2vec_format reads — parity
+    replacement for the reference's gensim .model save,
+    reference: word2vec_embedder.py:102-104)."""
+    import struct
+
+    vocab = ["A", "C", "DE"]
+    model = SkipGramModel(vocab, dim=5, seed=0)
+    vecs = model.vectors().astype(np.float32)
+
+    bin_path = tmp_path / "kv.bin"
+    model.save_word2vec_format(bin_path, binary=True)
+    with open(bin_path, "rb") as f:
+        header = f.readline().split()
+        assert [int(x) for x in header] == [3, 5]
+        for i, token in enumerate(vocab):
+            word = b""
+            while True:
+                ch = f.read(1)
+                if ch == b" ":
+                    break
+                word += ch
+            assert word.decode("utf8") == token
+            row = np.frombuffer(f.read(5 * 4), dtype="<f4")
+            np.testing.assert_array_equal(row, vecs[i])
+            assert f.read(1) == b"\n"
+
+    txt_path = tmp_path / "kv.txt"
+    model.save_word2vec_format(txt_path, binary=False)
+    with open(txt_path) as f:
+        assert f.readline().split() == ["3", "5"]
+        for i, token in enumerate(vocab):
+            parts = f.readline().split()
+            assert parts[0] == token
+            np.testing.assert_allclose(
+                np.array([float(v) for v in parts[1:]], np.float32), vecs[i]
+            )
+
+
+def test_word2vec_run_writes_gensim_artifact(toy_fasta, tmp_path):
+    cfg = _cfg(tmp_path)
+    Word2VecEmbedder(cfg).run(fasta_path=toy_fasta, output_dir=tmp_path / "w2v2")
+    assert os.path.exists(tmp_path / "w2v2" / "word2vec_model_dim16.vectors.bin")
+
+
+def test_visualize_gui_api(tmp_path):
+    """The interactive viewer's JSON API: file discovery, t-SNE compute,
+    path-escape rejection (replacement for the reference PyQt5 GUI,
+    reference: visualization_main.py:32-158)."""
+    import http.client
+    import importlib.util as ilu
+    import json
+    import threading
+
+    import h5py
+
+    spec = ilu.spec_from_file_location(
+        "visualize_gui",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "visualize_gui.py"),
+    )
+    gui = ilu.module_from_spec(spec)
+    spec.loader.exec_module(gui)
+
+    rng = np.random.default_rng(0)
+    for name in ("a_embeddings.h5", "sub/b_embeddings.h5"):
+        path = tmp_path / name
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with h5py.File(path, "w") as hf:
+            for i in range(12):
+                hf.create_dataset(f"P{i:03d}", data=rng.normal(size=8).astype(np.float32))
+
+    srv = gui.make_server(str(tmp_path), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+
+        conn.request("GET", "/api/files")
+        files = json.loads(conn.getresponse().read())["files"]
+        assert files == ["a_embeddings.h5", os.path.join("sub", "b_embeddings.h5")]
+
+        conn.request(
+            "GET",
+            "/api/tsne?files=a_embeddings.h5,sub/b_embeddings.h5"
+            "&mode=per_protein&perplexity=5&max_points=100",
+        )
+        d = json.loads(conn.getresponse().read())
+        assert len(d["points"]) == 24 and len(d["series"]) == 2
+        assert all(len(p) == 2 for p in d["points"])
+        assert d["ids"][0].startswith("P")
+
+        conn.request("GET", "/api/tsne?files=../escape.h5&mode=multi_set")
+        r = conn.getresponse()
+        assert r.status == 400 and b"escapes" in r.read()
+
+        conn.request("GET", "/")
+        page = conn.getresponse().read().decode()
+        assert "t-SNE embedding viewer" in page and "api/tsne" in page
+    finally:
+        srv.shutdown()

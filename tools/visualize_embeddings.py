@@ -94,7 +94,21 @@ def generate_tsne_figure(
             return 1
         return 0
 
-    vectors, labels = [], []
+    mat, labels, _ids = load_embedding_vectors(h5_paths, mode, max_points, rng)
+    if mat is None:
+        print("no vectors loaded")
+        return 1
+
+    pts = _tsne(mat, perplexity, seed)
+    _scatter(pts, labels, f"t-SNE of {len(mat)} embeddings ({mode})", output_png)
+    return 0
+
+
+def load_embedding_vectors(h5_paths, mode: str, max_points: int, rng):
+    """Load (matrix, labels, ids) from embedding H5 files for the
+    per_protein / multi_set scatter modes (shared by the headless CLI above
+    and the interactive viewer, tools/visualize_gui.py)."""
+    vectors, labels, ids = [], [], []
     for path in h5_paths:
         with h5py.File(path, "r") as hf:
             keys = list(hf.keys())
@@ -107,13 +121,14 @@ def generate_tsne_figure(
                     for row in rows:
                         vectors.append(row)
                         labels.append(k)
+                        ids.append(k)
                 else:  # per_protein: pool per-residue matrices to one point
                     v = data.mean(axis=0) if data.ndim == 2 else data
                     vectors.append(v)
                     labels.append(os.path.basename(path))
+                    ids.append(k)
     if not vectors:
-        print("no vectors loaded")
-        return 1
+        return None, [], []
     dims = {len(v) for v in vectors}
     if len(dims) > 1:
         # Mixed widths across files: clamp to the common prefix (PCA'd and
@@ -126,10 +141,8 @@ def generate_tsne_figure(
         sel = rng.choice(len(mat), max_points, replace=False)
         mat = mat[sel]
         labels = [labels[i] for i in sel]
-
-    pts = _tsne(mat, perplexity, seed)
-    _scatter(pts, labels, f"t-SNE of {len(mat)} embeddings ({mode})", output_png)
-    return 0
+        ids = [ids[i] for i in sel]
+    return mat, labels, ids
 
 
 def main(argv=None):
