@@ -495,6 +495,10 @@ def make_train_step_staged(
         # per layer backward (VERDICT r3 next-step #2 / CLAUDE.md lead (c)).
         # 128-wide outputs would cost a full ~1 GB per path; keep recompute.
         save_y = out_dim < 128 and 128 % out_dim == 0
+        # Stage 0's input is x itself — nothing below consumes its input
+        # cotangent, so its three path backwards skip the widest einsum
+        # (dproj @ Wᵀ) and the [A, G, in_pad] accumulation entirely.
+        need_dxc = k > 0
         ct = jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else jnp.float32
         use_pallas = model_cfg.use_pallas
         slope = model_cfg.leaky_relu_slope
@@ -609,6 +613,8 @@ def make_train_step_staged(
                 dw = jnp.einsum(
                     "...i,...o->io", xc, dproj, preferred_element_type=jnp.float32
                 )[:, :out_dim]
+                if not need_dxc:
+                    return dw, db, dgate, dxc_acc
                 dxc = jnp.einsum("...o,io->...i", dproj, wc)
                 return dw, db, dgate, dxc_acc + dxc
 
@@ -638,6 +644,8 @@ def make_train_step_staged(
                 dw = jnp.einsum(
                     "...i,...o->io", xc, dproj, preferred_element_type=jnp.float32
                 )[:, :out_dim]
+                if not need_dxc:
+                    return dw, db, dgate, dxc_acc
                 dxc = jnp.einsum("...o,io->...i", dproj, wc)
                 return dw, db, dgate, dxc_acc + dxc
 
