@@ -573,7 +573,6 @@ def make_train_step_staged(
                 dpre = g
             ds = dpre * jnp.where(s >= 0, 1.0, slope).astype(dpre.dtype)
             if rp is None:
-                dxc0 = ds  # identity residual (in_dim == out_dim)
                 dwres = None
             else:
                 xc = _unpack(carry, in_dim, lead).astype(ct)
@@ -582,74 +581,95 @@ def make_train_step_staged(
                     .astype(rp["w"].dtype),
                     jnp.sum(ds.astype(jnp.float32), axis=(0, 1)).astype(rp["b"].dtype),
                 )
-                dxc0 = jnp.einsum("...o,io->...i", ds, rp["w"].astype(ds.dtype))
-            return pack_rg_carry(ds), dxc0, dwres
+            # The residual branch's INPUT cotangent (identity pass-through or
+            # ds @ Wres^T) is NOT returned: a full-width [A, G, in_pad]
+            # resident between this jit and the path backwards was part of
+            # the r4 OOM peak — path 0 computes it in-program from ds_p.
+            return pack_rg_carry(ds), dwres
 
         def make_path_bwd(i):
+            """Path i's backward jit.  Path 0 additionally initialises the
+            input-cotangent accumulator IN-PROGRAM from ds_p (identity
+            residual pass-through or ds @ Wres^T) — holding that full-width
+            [A, G, in_pad] buffer between tail_bwd and the paths was part of
+            the r4 OOM peak.  Signatures therefore differ:
+              i == 0: (lp, rp, graph, carry, [y_p,] ds_p)
+              i  > 0: (lp, graph, carry, [y_p,] ds_p, dxc_acc)
+            and when k == 0 (need_dxc False) no dxc is computed at all."""
             wk, bm, bs, adj_attr = _PATHS[i]
+            first = i == 0
 
-            @functools.partial(jax.jit, donate_argnums=(3, 5))
-            def path_bwd_saved(lp, graph, carry, y_p, ds_packed, dxc_acc):
-                # Saved-y variant: no forward recompute — yb comes from the
-                # packed y the S stage emitted; only the TRANSPOSE
-                # propagation runs here.
+            def _body(lp, rp, graph, carry, y_p, ds_packed, dxc_acc):
                 lead = _rg_lead(graph)
                 xc = _unpack(carry, in_dim, lead).astype(ct)
                 gate = _gate_products(lp, lead)[i].astype(ct)
                 wc = wp(lp[wk] + lp["w_shared"]).astype(ct)
                 adj = getattr(graph, adj_attr)
-                du = _unpack(ds_packed, out_dim, lead)
-                y = _unpack(y_p, out_dim, lead)
-                yb = y + (lp[bm] + lp[bs]).astype(ct)
+                du0 = _unpack(ds_packed, out_dim, lead)
+                if save_y:
+                    y = _unpack(y_p, out_dim, lead)
+                    yb = y + (lp[bm] + lp[bs]).astype(ct)
+                    vjp_prop = None
+                else:
+                    proj = xc @ wc
+                    y, vjp_prop = jax.vjp(
+                        lambda pr: propagate(adj, pr, use_pallas), proj
+                    )
+                    yb = y + bp(lp[bm] + lp[bs]).astype(ct)
+                    if f_pad != out_dim:
+                        yb = yb[..., :out_dim]
                 dgate = jnp.sum(
-                    (du * yb).astype(jnp.float32), axis=-1, keepdims=True
+                    (du0 * yb).astype(jnp.float32), axis=-1, keepdims=True
                 )
+                if first and need_dxc:
+                    dxc_acc = (
+                        du0 if rp is None
+                        else jnp.einsum("...o,io->...i", du0, rp["w"].astype(du0.dtype))
+                    )
+                du = du0
                 if f_pad != out_dim:
-                    du = jnp.pad(du, ((0, 0), (0, 0), (0, f_pad - out_dim)))
-                dprop = gate * du
-                db = jnp.sum(dprop.astype(jnp.float32), axis=(0, 1))[:out_dim]
-                dprop, dgate, db = jax.lax.optimization_barrier((dprop, dgate, db))
-                dproj = propagate_transpose(adj, dprop, use_pallas)
-                dw = jnp.einsum(
-                    "...i,...o->io", xc, dproj, preferred_element_type=jnp.float32
-                )[:, :out_dim]
-                if not need_dxc:
-                    return dw, db, dgate, dxc_acc
-                dxc = jnp.einsum("...o,io->...i", dproj, wc)
-                return dw, db, dgate, dxc_acc + dxc
-
-            @functools.partial(jax.jit, donate_argnums=(4,))
-            def path_bwd(lp, graph, carry, ds_packed, dxc_acc):
-                lead = _rg_lead(graph)
-                xc = _unpack(carry, in_dim, lead).astype(ct)
-                gate = _gate_products(lp, lead)[i].astype(ct)
-                wc = wp(lp[wk] + lp["w_shared"]).astype(ct)
-                proj = xc @ wc
-                adj = getattr(graph, adj_attr)
-                y, vjp_prop = jax.vjp(
-                    lambda pr: propagate(adj, pr, use_pallas), proj
-                )
-                du = _unpack(ds_packed, out_dim, lead)
-                if f_pad != out_dim:
-                    du = jnp.pad(du, ((0, 0), (0, 0), (0, f_pad - out_dim)))
-                yb = y + bp(lp[bm] + lp[bs]).astype(ct)
-                dgate = jnp.sum(
-                    (du * yb).astype(jnp.float32), axis=-1, keepdims=True
-                )
+                    du = jnp.pad(du0, ((0, 0), (0, 0), (0, f_pad - out_dim)))
                 dprop = gate * du
                 db = jnp.sum(dprop.astype(jnp.float32), axis=(0, 1))[:out_dim]
                 # Pipeline B only after pipeline A's consumers finish.
                 dprop, dgate, db = jax.lax.optimization_barrier((dprop, dgate, db))
-                (dproj,) = vjp_prop(dprop)
+                if save_y:
+                    dproj = propagate_transpose(adj, dprop, use_pallas)
+                else:
+                    (dproj,) = vjp_prop(dprop)
                 dw = jnp.einsum(
                     "...i,...o->io", xc, dproj, preferred_element_type=jnp.float32
                 )[:, :out_dim]
                 if not need_dxc:
-                    return dw, db, dgate, dxc_acc
+                    return dw, db, dgate, jnp.zeros((), jnp.float32)
                 dxc = jnp.einsum("...o,io->...i", dproj, wc)
                 return dw, db, dgate, dxc_acc + dxc
 
-            return path_bwd_saved if save_y else path_bwd
+            if first:
+                if save_y:
+                    @functools.partial(jax.jit, donate_argnums=(4,))
+                    def path_first_saved(lp, rp, graph, carry, y_p, ds_p):
+                        return _body(lp, rp, graph, carry, y_p, ds_p, None)
+
+                    return path_first_saved
+
+                @jax.jit
+                def path_first(lp, rp, graph, carry, ds_p):
+                    return _body(lp, rp, graph, carry, None, ds_p, None)
+
+                return path_first
+            if save_y:
+                @functools.partial(jax.jit, donate_argnums=(3, 5))
+                def path_rest_saved(lp, graph, carry, y_p, ds_p, dxc_acc):
+                    return _body(lp, None, graph, carry, y_p, ds_p, dxc_acc)
+
+                return path_rest_saved
+
+            @functools.partial(jax.jit, donate_argnums=(4,))
+            def path_rest(lp, graph, carry, ds_p, dxc_acc):
+                return _body(lp, None, graph, carry, None, ds_p, dxc_acc)
+
+            return path_rest
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def assemble_update(pk, opt_state, parts):
@@ -719,23 +739,26 @@ def make_train_step_staged(
             rp = pk["res_projs"][0]
             s_p, ys = s_fwd(lp, rp, graph, carry)
             _sync(f"s_fwd{k}", s_p)
-            ds_p, dxc, dwres = tail_bwd(lp, rp, carry, s_p, g_next, rng)
+            ds_p, dwres = tail_bwd(lp, rp, carry, s_p, g_next, rng)
             _sync(f"tail{k}", ds_p)
             dws, dbs, dgates = [], [], []
+            dxc = None
             for i in range(3):
-                if save_y:
-                    dw, db, dgate, dxc = path_bwds[i](
-                        lp, graph, carry, ys[i], ds_p, dxc
-                    )
+                if i == 0:
+                    args = (lp, rp, graph, carry) + ((ys[i],) if save_y else ()) + (ds_p,)
                 else:
-                    dw, db, dgate, dxc = path_bwds[i](lp, graph, carry, ds_p, dxc)
+                    args = (lp, graph, carry) + ((ys[i],) if save_y else ()) + (ds_p, dxc)
+                dw, db, dgate, dxc = path_bwds[i](*args)
                 _sync(f"path{k}.{i}", dxc)
                 dws.append(dw)
                 dbs.append(db)
                 dgates.append(dgate)
             from protgram_directgcn_tpu.models.directgcn import pack_rg_carry as _pack
 
-            g_c = _pack(dxc) if (in_dim < 128 and 128 % in_dim == 0) else dxc
+            if not need_dxc:
+                g_c = None  # stage 0: nothing below consumes an input cotangent
+            else:
+                g_c = _pack(dxc) if (in_dim < 128 and 128 % in_dim == 0) else dxc
             new_pk, new_state, l2_k = assemble_update(
                 pk, opt_state_k, (dws, dbs, dgates, dwres, ds_p)
             )
