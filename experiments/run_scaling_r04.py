@@ -52,14 +52,14 @@ def main():
         if best is None:
             best = res
             continue
-        for curve in ("halo", "tri_halo", "hyper_shard", "gspmd"):
+        for curve in ("halo", "tri_halo", "hyper_shard", "hyper_shard_tri", "gspmd"):
             for i, pt in enumerate(res[curve]):
                 if pt["edges_per_s"] > best[curve][i]["edges_per_s"]:
                     best[curve][i] = pt
         print(f"[run {r + 1}/{runs}] {time.time() - t0:.0f}s", file=sys.stderr)
 
     # Recompute retention/efficiency from the merged best rates.
-    for curve in ("halo", "tri_halo", "hyper_shard", "gspmd"):
+    for curve in ("halo", "tri_halo", "hyper_shard", "hyper_shard_tri", "gspmd"):
         base = best[curve][0]["edges_per_s"]
         for pt in best[curve]:
             pt["aggregate_retention"] = pt["edges_per_s"] / base
@@ -68,7 +68,7 @@ def main():
     best["note"] = NOTE
     with open("/root/repo/SCALING_r04.json", "w") as f:
         json.dump(best, f, indent=1)
-    for curve in ("halo", "tri_halo", "hyper_shard", "gspmd"):
+    for curve in ("halo", "tri_halo", "hyper_shard", "hyper_shard_tri", "gspmd"):
         pts = best[curve]
         print(curve, [round(p["aggregate_retention"], 3) for p in pts])
 

@@ -394,6 +394,47 @@ def fivegram_scaling_report(
         )
     results["hyper_shard"] = points_from(rates, n, nnz)
 
+    # ---- Batched tri exchange: the production layer operator in the
+    # G-sharded format — the three matrices' exchanges ride ONE all_to_all
+    # pair per direction (parallel/hyper_shard.HyperShardTri).
+    from protgram_directgcn_tpu.parallel.hyper_shard import (
+        HyperShardTri,
+        propagate_hyper_shard_tri,
+    )
+
+    rates = []
+    for d in shard_counts:
+        mesh = make_mesh(d, feat_axis=1)
+        tables = build_hyper_shard_tables(a, g_keys, d)
+        adj = build_hyper_shard(
+            src, tgt, val, np.asarray(codes, np.int64), a, d,
+            weights_dtype=jnp.float32, tables=tables,
+        )
+        tri = HyperShardTri(adjs=(adj, adj, adj))
+        gp = adj.g_padded
+        xs = tuple(
+            jax.device_put(
+                jnp.asarray(rng.standard_normal((a, gp, feat_dim)).astype(np.float32)),
+                NamedSharding(mesh, P(None, "nodes", None)),
+            )
+            for _ in range(3)
+        )
+
+        def tri_prop(_tri, x3, _mesh=mesh):
+            with active_mesh(_mesh):
+                return propagate_hyper_shard_tri(_tri, *x3)
+
+        tri_jit = jax.jit(tri_prop)
+        fn = lambda x3: tri_jit(tri, x3)  # noqa: E731
+        fetch = lambda o: np.asarray(jax.device_get(o[0][:1, :1, :1]))  # noqa: E731
+        best = time_chain(fn, xs, fetch)
+        rates.append((d, 3 * nnz / best))
+        logger.info(
+            "[5gram hyper_tri] D=%d: %.1f ms/step, %.1fM edges/s",
+            d, best * 1e3, rates[-1][1] / 1e6,
+        )
+    results["hyper_shard_tri"] = points_from(rates, n, 3 * nnz)
+
     # ---- GSPMD row-sharded ELL (VERDICT r3 weak #7: measure, or demote to
     # debug-only).  The adjacency rows and features shard along "nodes";
     # XLA materialises whatever collectives the ELL gather needs — no

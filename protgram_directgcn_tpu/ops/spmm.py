@@ -677,7 +677,10 @@ def propagate3(graph, x_in: jnp.ndarray, x_out: jnp.ndarray, x_und: jnp.ndarray,
     tri = getattr(graph, "tri", None)
     if tri is not None:
         from protgram_directgcn_tpu.parallel import halo as _halo
+        from protgram_directgcn_tpu.parallel import hyper_shard as _hs
 
+        if isinstance(tri, _hs.HyperShardTri):
+            return _hs.propagate_hyper_shard_tri(tri, x_in, x_out, x_und)
         return _halo.propagate_tri(tri, x_in, x_out, x_und)
     if x_in.ndim == 3:
         # rg carry = hypercube scale: chain the three independent

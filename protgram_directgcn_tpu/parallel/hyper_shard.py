@@ -370,6 +370,143 @@ def propagate_hyper_shard(
     return out.reshape(a * gp, -1) if flat_in else out
 
 
+@struct.dataclass
+class HyperShardTri:
+    """Layer-level distributed operator: the three propagation matrices of a
+    DirectGCN layer with BATCHED exchanges — the per-peer chunks of all
+    three feature sets ride ONE all_to_all per relayout (so one collective
+    pair per layer direction instead of three), exactly the trick the halo
+    path's TriHaloAdj applies.  Exchange tables are shared by construction
+    (they depend only on (A, G, D)).  Consumed by ops.spmm.propagate3 via
+    ``DeviceGraph.tri``; the custom VJP runs the same batched op with the
+    banks' pattern roles swapped."""
+
+    adjs: Tuple[HyperShardAdj, HyperShardAdj, HyperShardAdj]  # (in, out, und)
+
+    @property
+    def axis(self) -> str:
+        return self.adjs[0].axis
+
+
+def _exchange3_start(send_idx, rows3, axis, d_count):
+    """Issue ONE all_to_all carrying the per-peer chunks of three feature
+    sets (concatenated on the chunk axis)."""
+    s = send_idx.shape[1]
+    f = rows3[0].shape[1]
+    bufs = [
+        jnp.take(r, send_idx.reshape(-1), axis=0).reshape(d_count, s, f)
+        for r in rows3
+    ]
+    send = jnp.concatenate(bufs, axis=1)  # [D, 3S, F]
+    return jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=False)
+
+
+def _exchange3_finish(asm_idx, recv, i):
+    """Assemble matrix i's rows out of the batched receive buffer."""
+    d_count, s3, f = recv.shape
+    s = s3 // 3
+    return _exchange_finish(asm_idx, recv[:, i * s: (i + 1) * s, :])
+
+
+def hyper_shard_tri_propagate(
+    tri: HyperShardTri, xs, mesh: Mesh, transpose: bool = False
+):
+    """Batched-exchange propagation of three rg-layout feature sets through
+    the layer's three matrices: (P_in x0, P_out x1, P_und x2)."""
+    axis = tri.axis
+    a0 = tri.adjs[0]
+    d_count = a0.num_shards
+    t = a0.tables
+    banks = [
+        ((adj.wb, adj.wf) if transpose else (adj.wf, adj.wb)) for adj in tri.adjs
+    ]
+
+    in_specs = (
+        [P(axis, None, None)] * 3  # d slabs
+        + [P(axis, None, None, None)] * 6  # w1/w2 slabs
+        + [P(axis, None, None), P(axis, None)]  # x tables
+        + [P(axis, None, None), P(axis, None)]  # z tables
+        + [P(None, axis, None)] * 3  # xs
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(None, axis, None),) * 3,
+    )
+    def _run(d0, d1, d2, w10, w20, w11, w21, w12, w22,
+             send_gc, asm_gc, send_rg, asm_rg, x0, x1, x2):
+        ds = [d0[0], d1[0], d2[0]]
+        w1s = [w10[0], w11[0], w12[0]]
+        w2s = [w20[0], w21[0], w22[0]]
+        send_gc, asm_gc = send_gc[0], asm_gc[0]
+        send_rg, asm_rg = send_rg[0], asm_rg[0]
+        xs_loc = [x0, x1, x2]
+        a, gd, f = x0.shape
+        prec = "highest" if x0.dtype == jnp.float32 else "default"
+        ein = functools.partial(
+            jnp.einsum, precision=prec, preferred_element_type=jnp.float32
+        )
+        # ONE x exchange for all three matrices (issued before any K1).
+        recv_x = _exchange3_start(
+            send_gc, [x.reshape(a * gd, f) for x in xs_loc], axis, d_count
+        )
+        # Local K1s.
+        zs = [ein("rgc,rgf->gcf", w1, x) for w1, x in zip(w1s, xs_loc)]
+        # ONE z exchange (issued before K2's local terms, consumed after).
+        recv_z = _exchange3_start(
+            send_rg, [z.reshape(gd * a, f) for z in zs], axis, d_count
+        )
+        outs = []
+        for i in range(3):
+            x_gc = _exchange3_finish(asm_gc, recv_x, i).reshape(gd, a, f)
+            y2 = ein("rgc,gcf->rgf", w2s[i], x_gc)
+            local = y2 + ds[i][:, :, None] * xs_loc[i].astype(jnp.float32)
+            z_rg = _exchange3_finish(asm_rg, recv_z, i)
+            outs.append((z_rg.reshape(a, gd, f) + local).astype(xs_loc[i].dtype))
+        return tuple(outs)
+
+    args = []
+    for adj in tri.adjs:
+        args.append(adj.d)
+    for (w1, w2) in banks:
+        args.extend([w1, w2])
+    args.extend([t.send_gc, t.asm_gc, t.send_rg, t.asm_rg])
+    args.extend(list(xs))
+    return _run(*args)
+
+
+@jax.custom_vjp
+def _hyper_tri_cv(tri, x0, x1, x2):
+    return hyper_shard_tri_propagate(tri, (x0, x1, x2), current_mesh(), False)
+
+
+def _hyper_tri_cv_fwd(tri, x0, x1, x2):
+    return _hyper_tri_cv(tri, x0, x1, x2), (tri,)
+
+
+def _hyper_tri_cv_bwd(res, gs):
+    (tri,) = res
+    dxs = hyper_shard_tri_propagate(tri, gs, current_mesh(), True)
+    zero = lambda p: jax.tree_util.tree_map(  # noqa: E731
+        lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+        if jnp.issubdtype(a.dtype, jnp.integer)
+        else jnp.zeros_like(a),
+        p,
+    )
+    return (zero(tri),) + tuple(dxs)
+
+
+_hyper_tri_cv.defvjp(_hyper_tri_cv_fwd, _hyper_tri_cv_bwd)
+
+
+def propagate_hyper_shard_tri(tri: HyperShardTri, x_in, x_out, x_und):
+    """propagate3 contract: (P_in x_in, P_out x_out, P_und x_und) with one
+    batched exchange pair per direction."""
+    return _hyper_tri_cv(tri, x_in, x_out, x_und)
+
+
 def shard_hyper_features(x, mesh: Mesh, axis: str = "nodes"):
     """Place an rg-layout [A, G_pad, F] feature array with its G axis on the
     mesh's node dimension."""

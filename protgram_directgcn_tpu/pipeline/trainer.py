@@ -1332,13 +1332,21 @@ class HierarchicalTrainer:
                     weights_dtype=dtype, tables=tables,
                 )
 
+            from protgram_directgcn_tpu.parallel.hyper_shard import HyperShardTri
+
             p_in = mk(graph.mathcal_a_in())
+            p_out = mk(graph.mathcal_a_out())
+            p_und = mk(graph.undirected_norm())
             return DeviceGraph(
                 p_in=p_in,
-                p_out=mk(graph.mathcal_a_out()),
-                p_und=mk(graph.undirected_norm()),
+                p_out=p_out,
+                p_und=p_und,
                 num_nodes=p_in.n_out,
                 node_map=p_in.node_map,
+                # Layer-level batched-exchange operator: ONE collective pair
+                # per layer direction instead of three (propagate3 consumes
+                # it; tables are shared across the three matrices).
+                tri=HyperShardTri(adjs=(p_in, p_out, p_und)),
             )
         except BlockStructureError as exc:
             logger.info("hypercube sharding refused: %s", exc)

@@ -154,3 +154,61 @@ def test_trainer_distributed_hypercube_mode(toy_fasta, tmp_path):
     assert np.isfinite(embeds).all()
     norms = np.linalg.norm(embeds, axis=1)
     np.testing.assert_allclose(norms, np.ones_like(norms), rtol=1e-3)
+
+
+@pytest.mark.parametrize("shards", [2, 8])
+def test_hyper_shard_tri_matches_three_propagations(shards):
+    """The batched-exchange tri operator (one all_to_all pair per direction)
+    equals three independent propagations, forward and backward."""
+    from protgram_directgcn_tpu.parallel.hyper_shard import (
+        HyperShardTri,
+        propagate_hyper_shard_tri,
+    )
+
+    f = 8
+    adjs = []
+    for seed in range(3):
+        src, tgt, w, codes, alpha, num = ngram_coo(seed=seed)
+        adjs.append(build_hyper_shard(src, tgt, w, codes, alpha, shards))
+    tri = HyperShardTri(adjs=tuple(adjs))
+    mesh = make_mesh(shards, feat_axis=1)
+    rng = np.random.default_rng(2)
+    xs = tuple(
+        jnp.asarray(rng.standard_normal((adjs[0].n_out, f)).astype(np.float32)
+                    .reshape(adjs[0].alphabet, adjs[0].g_padded, f))
+        for _ in range(3)
+    )
+    with active_mesh(mesh):
+        outs = jax.jit(lambda t, a, b, c: propagate_hyper_shard_tri(t, a, b, c))(
+            tri, *xs
+        )
+        refs = [
+            np.asarray(jax.jit(lambda a, x: propagate_hyper_shard(a, x))(adj, x))
+            for adj, x in zip(adjs, xs)
+        ]
+        for o, r in zip(outs, refs):
+            np.testing.assert_allclose(np.asarray(o), r, rtol=1e-5, atol=1e-5)
+
+        # Backward: d/dx of sum(P_i x_i * g_i) must equal P_i^T g_i.
+        gs = [rng.standard_normal(np.asarray(o).shape).astype(np.float32) for o in outs]
+
+        def loss(a, b, c):
+            o = propagate_hyper_shard_tri(tri, a, b, c)
+            return sum(jnp.sum(oi * gi) for oi, gi in zip(o, gs))
+
+        dxs = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(*xs)
+        for adj, gi, dx in zip(adjs, gs, dxs):
+            ref = np.asarray(
+                jax.jit(
+                    lambda a, x: propagate_hyper_shard(a, x)
+                )(adj, jnp.asarray(gi))
+            )
+            # propagate of g through the TRANSPOSE = adj with swapped banks.
+            from protgram_directgcn_tpu.parallel.hyper_shard import hyper_shard_propagate
+
+            ref_t = np.asarray(
+                jax.jit(
+                    lambda x: hyper_shard_propagate(adj, x, mesh, transpose=True)
+                )(jnp.asarray(gi))
+            )
+            np.testing.assert_allclose(np.asarray(dx), ref_t, rtol=1e-5, atol=1e-5)
