@@ -538,12 +538,9 @@ def make_train_step_staged(
             xc = _unpack(carry, in_dim, lead).astype(ct)
             gates = _gate_products(lp, lead)
             acc = None
-            ys = []
             for (wk, bm, bs, adj_attr), gate in zip(_PATHS, gates):
                 proj = xc @ wp(lp[wk] + lp["w_shared"]).astype(ct)
                 y = propagate(getattr(graph, adj_attr), proj, use_pallas)
-                if save_y:
-                    ys.append(pack_rg_carry(y[..., :out_dim]))
                 contrib = gate.astype(ct) * (y + bp(lp[bm] + lp[bs]).astype(ct))
                 if acc is None:
                     acc = contrib
@@ -556,12 +553,28 @@ def make_train_step_staged(
                 else xc @ rp["w"].astype(xc.dtype) + rp["b"].astype(xc.dtype)
             )
             s = s + res
-            return pack_rg_carry(s.astype(ct)), tuple(ys)
+            return pack_rg_carry(s.astype(ct))
 
-        @functools.partial(jax.jit, donate_argnums=(3, 4))
-        def tail_bwd(lp, rp, carry, s_packed, g_packed, rng):
-            lead = _rg_lead(graph_ref[0])
-            s = _unpack(s_packed, out_dim, lead)
+        @jax.jit
+        def ys_fwd(lp, graph, carry):
+            # saved-y mode: emit ONLY the three packed propagation outputs —
+            # no pre-activation accumulator, no s materialisation (tail_bwd
+            # reconstructs s from the ys elementwise, exactly).  The r3
+            # S-program PLUS three extra 0.5 GB outputs blew the 5-gram HBM
+            # margin; this variant's program temps are one pipeline + one
+            # packed output at a time.
+            lead = _rg_lead(graph)
+            xc = _unpack(carry, in_dim, lead).astype(ct)
+            ys = []
+            for (wk, bm, bs, adj_attr) in _PATHS:
+                proj = xc @ wp(lp[wk] + lp["w_shared"]).astype(ct)
+                y = propagate(getattr(graph, adj_attr), proj, use_pallas)
+                ys.append(pack_rg_carry(y[..., :out_dim]))
+                xc, _last_y = jax.lax.optimization_barrier((xc, ys[-1]))
+                ys[-1] = _last_y
+            return tuple(ys)
+
+        def _tail_core(lp, rp, carry, s, g_packed, rng, lead):
             g = _unpack(g_packed, out_dim, lead)
             key = _keys(rng)[li]
             if dropout > 0:
@@ -586,6 +599,35 @@ def make_train_step_staged(
             # resident between this jit and the path backwards was part of
             # the r4 OOM peak — path 0 computes it in-program from ds_p.
             return pack_rg_carry(ds), dwres
+
+        @functools.partial(jax.jit, donate_argnums=(3, 4))
+        def tail_bwd(lp, rp, carry, s_packed, g_packed, rng):
+            lead = _rg_lead(graph_ref[0])
+            s = _unpack(s_packed, out_dim, lead)
+            return _tail_core(lp, rp, carry, s, g_packed, rng, lead)
+
+        @functools.partial(jax.jit, donate_argnums=(4,))
+        def tail_bwd_saved(lp, rp, carry, ys, g_packed, rng):
+            # Reconstruct s from the saved per-path ys — the same ct-dtype
+            # ops in the same order as s_fwd, so ds is bit-identical.  One
+            # y is unpacked at a time (barrier-chained accumulator).
+            lead = _rg_lead(graph_ref[0])
+            a, g_real = lead
+            gates = _gate_products(lp, lead)
+            acc = None
+            for i, (wk, bm, bs, adj_attr) in enumerate(_PATHS):
+                y = _unpack(ys[i], out_dim, lead)
+                contrib = gates[i].astype(ct) * (y + (lp[bm] + lp[bs]).astype(ct))
+                acc = contrib if acc is None else acc + contrib
+                (acc,) = jax.lax.optimization_barrier((acc,))
+            s = acc + lp["constant"].reshape(a, g_real, out_dim)
+            xc = _unpack(carry, in_dim, lead).astype(ct)
+            res = (
+                xc if rp is None
+                else xc @ rp["w"].astype(xc.dtype) + rp["b"].astype(xc.dtype)
+            )
+            s = s + res
+            return _tail_core(lp, rp, carry, s.astype(ct), g_packed, rng, lead)
 
         def make_path_bwd(i):
             """Path i's backward jit.  Path 0 additionally initialises the
@@ -737,9 +779,15 @@ def make_train_step_staged(
             graph_ref[0] = graph
             lp = pk["layers"][0]
             rp = pk["res_projs"][0]
-            s_p, ys = s_fwd(lp, rp, graph, carry)
-            _sync(f"s_fwd{k}", s_p)
-            ds_p, dwres = tail_bwd(lp, rp, carry, s_p, g_next, rng)
+            if save_y:
+                ys = ys_fwd(lp, graph, carry)
+                _sync(f"s_fwd{k}", ys)
+                ds_p, dwres = tail_bwd_saved(lp, rp, carry, ys, g_next, rng)
+            else:
+                ys = ()
+                s_p = s_fwd(lp, rp, graph, carry)
+                _sync(f"s_fwd{k}", s_p)
+                ds_p, dwres = tail_bwd(lp, rp, carry, s_p, g_next, rng)
             _sync(f"tail{k}", ds_p)
             dws, dbs, dgates = [], [], []
             dxc = None
