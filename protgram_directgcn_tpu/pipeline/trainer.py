@@ -346,8 +346,8 @@ def make_train_step_staged(
 
         return stage_fwd
 
-    def make_final_grad(k):
-        @functools.partial(jax.jit, donate_argnums=(2,))
+    def make_final_grad(k, donate_carry=True):
+        @functools.partial(jax.jit, donate_argnums=(2,) if donate_carry else ())
         def final_grad(pk, graph, carry, y, mask, weight_factor, rng):
             lead = _rg_lead(graph)
             keys = _keys(rng)
@@ -606,28 +606,24 @@ def make_train_step_staged(
             s = _unpack(s_packed, out_dim, lead)
             return _tail_core(lp, rp, carry, s, g_packed, rng, lead)
 
-        @functools.partial(jax.jit, donate_argnums=(4,))
-        def tail_bwd_saved(lp, rp, carry, ys, g_packed, rng):
-            # Reconstruct s from the saved per-path ys — the same ct-dtype
-            # ops in the same order as s_fwd, so ds is bit-identical.  One
-            # y is unpacked at a time (barrier-chained accumulator).
-            lead = _rg_lead(graph_ref[0])
-            a, g_real = lead
-            gates = _gate_products(lp, lead)
-            acc = None
-            for i, (wk, bm, bs, adj_attr) in enumerate(_PATHS):
-                y = _unpack(ys[i], out_dim, lead)
-                contrib = gates[i].astype(ct) * (y + (lp[bm] + lp[bs]).astype(ct))
-                acc = contrib if acc is None else acc + contrib
-                (acc,) = jax.lax.optimization_barrier((acc,))
-            s = acc + lp["constant"].reshape(a, g_real, out_dim)
-            xc = _unpack(carry, in_dim, lead).astype(ct)
-            res = (
-                xc if rp is None
-                else xc @ rp["w"].astype(xc.dtype) + rp["b"].astype(xc.dtype)
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def ds_from_carry(g_packed, c_out_packed):
+            # The retained OUTPUT carry already encodes everything the tail
+            # needs: h = where(mask, leaky(s)/keep, 0), so sign(h) = sign(s)
+            # wherever the node was kept and h == 0 exactly where it was
+            # dropped.  ds = g * phi(h) with phi in {1/keep, slope/keep, 0}
+            # is ONE packed elementwise op — no s reconstruction, no y
+            # unpacks, no RNG replay, no relayouts.  (Sole deviation from
+            # the autodiff tail: a kept node whose bf16 s is EXACTLY 0 gets
+            # phi = 0 instead of 1/keep — a measure-zero subgradient choice.)
+            keep = 1.0 - dropout if dropout > 0 else 1.0
+            hi = jnp.asarray(1.0 / keep, g_packed.dtype)
+            lo = jnp.asarray(slope / keep, g_packed.dtype)
+            zero = jnp.zeros((), g_packed.dtype)
+            phi = jnp.where(
+                c_out_packed > 0, hi, jnp.where(c_out_packed < 0, lo, zero)
             )
-            s = s + res
-            return _tail_core(lp, rp, carry, s.astype(ct), g_packed, rng, lead)
+            return g_packed * phi
 
         def make_path_bwd(i):
             """Path i's backward jit.  Path 0 additionally initialises the
@@ -640,6 +636,24 @@ def make_train_step_staged(
             and when k == 0 (need_dxc False) no dxc is computed at all."""
             wk, bm, bs, adj_attr = _PATHS[i]
             first = i == 0
+            kf = 128 // out_dim  # nodes per packed row (saved mode)
+
+            def _dgate_packed(lp, ds_packed, y_p, lead):
+                # Per-node sum over features WITHOUT unpacking: lane-slice
+                # each node's segment out of the packed rows and reduce —
+                # the reshape-then-reduce lowering is ~6x slower (measured,
+                # experiments/exp_unpack_r4.py consume_sum vs _slices).
+                a, g_real = lead
+                b2 = jnp.tile((lp[bm] + lp[bs]).astype(ct), kf)
+                prod = (ds_packed * (y_p + b2)).astype(jnp.float32)
+                sums = [
+                    jnp.sum(prod[:, :, j * out_dim:(j + 1) * out_dim], axis=-1)
+                    for j in range(kf)
+                ]
+                rows = prod.shape[1]
+                return (
+                    jnp.stack(sums, axis=-1).reshape(a, rows * kf)[:, :g_real, None]
+                )
 
             def _body(lp, rp, graph, carry, y_p, ds_packed, dxc_acc):
                 lead = _rg_lead(graph)
@@ -648,9 +662,9 @@ def make_train_step_staged(
                 wc = wp(lp[wk] + lp["w_shared"]).astype(ct)
                 adj = getattr(graph, adj_attr)
                 du0 = _unpack(ds_packed, out_dim, lead)
+                dwres = None
                 if save_y:
-                    y = _unpack(y_p, out_dim, lead)
-                    yb = y + (lp[bm] + lp[bs]).astype(ct)
+                    dgate = _dgate_packed(lp, ds_packed, y_p, lead)
                     vjp_prop = None
                 else:
                     proj = xc @ wc
@@ -660,13 +674,26 @@ def make_train_step_staged(
                     yb = y + bp(lp[bm] + lp[bs]).astype(ct)
                     if f_pad != out_dim:
                         yb = yb[..., :out_dim]
-                dgate = jnp.sum(
-                    (du0 * yb).astype(jnp.float32), axis=-1, keepdims=True
-                )
+                    dgate = jnp.sum(
+                        (du0 * yb).astype(jnp.float32), axis=-1, keepdims=True
+                    )
                 if first and need_dxc:
                     dxc_acc = (
                         du0 if rp is None
                         else jnp.einsum("...o,io->...i", du0, rp["w"].astype(du0.dtype))
+                    )
+                if first and save_y and rp is not None:
+                    # Residual-projection grads, folded here where du0 and xc
+                    # are already unpacked (the tail stage no longer exists
+                    # in saved mode).
+                    dwres = (
+                        jnp.einsum(
+                            "...i,...o->io", xc, du0,
+                            preferred_element_type=jnp.float32,
+                        ).astype(rp["w"].dtype),
+                        jnp.sum(du0.astype(jnp.float32), axis=(0, 1)).astype(
+                            rp["b"].dtype
+                        ),
                     )
                 du = du0
                 if f_pad != out_dim:
@@ -683,9 +710,12 @@ def make_train_step_staged(
                     "...i,...o->io", xc, dproj, preferred_element_type=jnp.float32
                 )[:, :out_dim]
                 if not need_dxc:
-                    return dw, db, dgate, jnp.zeros((), jnp.float32)
-                dxc = jnp.einsum("...o,io->...i", dproj, wc)
-                return dw, db, dgate, dxc_acc + dxc
+                    dxc_out = jnp.zeros((), jnp.float32)
+                else:
+                    dxc_out = dxc_acc + jnp.einsum("...o,io->...i", dproj, wc)
+                if first and save_y:
+                    return dw, db, dgate, dxc_out, dwres
+                return dw, db, dgate, dxc_out
 
             if first:
                 if save_y:
@@ -766,7 +796,7 @@ def make_train_step_staged(
         # across different-shape graphs (VERDICT r3 weak #8).
         graph_ref = [None]
 
-        def run(pk, opt_state_k, graph, carry, g_next, rng):
+        def run(pk, opt_state_k, graph, carry, g_next, rng, carry_out=None, ys=None):
             lead = _rg_lead(graph)
             if graph_ref[0] is not None:
                 traced = _rg_lead(graph_ref[0])
@@ -780,15 +810,24 @@ def make_train_step_staged(
             lp = pk["layers"][0]
             rp = pk["res_projs"][0]
             if save_y:
-                ys = ys_fwd(lp, graph, carry)
-                _sync(f"s_fwd{k}", ys)
-                ds_p, dwres = tail_bwd_saved(lp, rp, carry, ys, g_next, rng)
+                if ys is None:
+                    ys = ys_fwd(lp, graph, carry)
+                    _sync(f"s_fwd{k}", ys)
+                if carry_out is None:
+                    # Fallback: regenerate the output carry (params are
+                    # pre-update here, so this matches the forward exactly).
+                    carry_out = stage_fwd_fns[k](
+                        {"layers": [lp], "res_projs": [rp]}, graph, carry, rng
+                    )
+                    _sync(f"refwd_out{k}", carry_out)
+                ds_p = ds_from_carry(g_next, carry_out)
+                dwres = None  # rp-case grads come from path 0
             else:
                 ys = ()
                 s_p = s_fwd(lp, rp, graph, carry)
                 _sync(f"s_fwd{k}", s_p)
                 ds_p, dwres = tail_bwd(lp, rp, carry, s_p, g_next, rng)
-            _sync(f"tail{k}", ds_p)
+                _sync(f"tail{k}", ds_p)
             dws, dbs, dgates = [], [], []
             dxc = None
             for i in range(3):
@@ -796,7 +835,11 @@ def make_train_step_staged(
                     args = (lp, rp, graph, carry) + ((ys[i],) if save_y else ()) + (ds_p,)
                 else:
                     args = (lp, graph, carry) + ((ys[i],) if save_y else ()) + (ds_p, dxc)
-                dw, db, dgate, dxc = path_bwds[i](*args)
+                out = path_bwds[i](*args)
+                if i == 0 and save_y:
+                    dw, db, dgate, dxc, dwres = out
+                else:
+                    dw, db, dgate, dxc = out
                 _sync(f"path{k}.{i}", dxc)
                 dws.append(dw)
                 dbs.append(db)
@@ -813,6 +856,7 @@ def make_train_step_staged(
             _sync(f"update{k}", l2_k)
             return new_pk, new_state, g_c, l2_k
 
+        run.save_y = save_y  # step() uses this for output-carry retention
         return run
 
     # Carry-holding policy: a boundary carry is held device-resident only
@@ -834,12 +878,19 @@ def make_train_step_staged(
         nearest_held[k] = j
 
     stage_fwd_fns = [make_stage_fwd(k) for k in range(m - 1)]
-    final_grad_fn = make_final_grad(m - 1)
     manual_fns = {
         k: make_interior_grad_manual(k)
         for k in range(0, m - 1)
         if _manual_ok(k)
     }
+
+    def _retains_carry(k):
+        """Stage k-1's saved-y backward consumes carries[k] as its OUTPUT
+        carry (ds = g * phi(h)); retain it past stage k's own backward."""
+        lower = manual_fns.get(k - 1)
+        return lower is not None and lower.save_y
+
+    final_grad_fn = make_final_grad(m - 1, donate_carry=not _retains_carry(m - 1))
     grad_fns = {
         k: (
             make_stage_grad_carry(k)
@@ -914,7 +965,8 @@ def make_train_step_staged(
         g_p, g_c, loss_p, primary, l2_sum = final_grad_fn(
             stage_ps[m - 1], graph, carries[m - 1], y, mask, weight_factor, rng
         )
-        carries[m - 1] = None
+        if not _retains_carry(m - 1):
+            carries[m - 1] = None
         _sync("final_grad", g_c)
         stage_ps[m - 1], new_states[m - 1] = update_fns[m - 1](
             stage_ps[m - 1], opt_state.stages[m - 1], g_p
@@ -935,15 +987,21 @@ def make_train_step_staged(
         for k in range(m - 2, 0, -1):
             if k in manual_fns:
                 carry_k = materialize_carry(k)
+                carries[k] = carry_k
+                c_out = carries[k + 1] if manual_fns[k].save_y else None
                 stage_ps[k], new_states[k], g_c, l2_k = manual_fns[k](
-                    stage_ps[k], opt_state.stages[k], graph, carry_k, g_c, rng
+                    stage_ps[k], opt_state.stages[k], graph, carry_k, g_c, rng,
+                    carry_out=c_out,
                 )
-                carries[k] = None
+                carries[k + 1] = None  # donated into ds_from_carry (or stale)
+                if not _retains_carry(k):
+                    carries[k] = None
                 l2_sum = l2_sum + l2_k
                 continue
             if held[k]:
                 g_p, g_c, l2_k = grad_fns[k](stage_ps[k], graph, carries[k], g_c, rng)
-                carries[k] = None
+                if not _retains_carry(k):
+                    carries[k] = None
             else:
                 j = nearest_held[k]
                 g_p, g_c, l2_k = grad_fns[k](
@@ -958,9 +1016,12 @@ def make_train_step_staged(
             _sync(f"update{k}", new_states[k])
         if m > 1:
             if 0 in manual_fns:
+                c_out0 = carries[1] if manual_fns[0].save_y else None
                 stage_ps[0], new_states[0], _, l2_0 = manual_fns[0](
-                    stage_ps[0], opt_state.stages[0], graph, x, g_c, rng
+                    stage_ps[0], opt_state.stages[0], graph, x, g_c, rng,
+                    carry_out=c_out0,
                 )
+                carries[1] = None
             else:
                 g_p, l2_0 = stage0_grad_fn(stage_ps[0], graph, x, g_c, rng)
                 _sync("grad0", l2_0)
