@@ -556,6 +556,39 @@ def make_train_step_staged(
             return pack_rg_carry(s.astype(ct))
 
         @jax.jit
+        def fwd_with_ys(lp, rp, graph, carry, rng):
+            # Forward-sweep variant for the TOP manual stage: emit the output
+            # carry AND the packed per-path ys in one program, so the
+            # backward (which runs immediately after the lean decoder-only
+            # final stage) skips its ys_fwd recompute entirely.  Mirrors
+            # apply_layer_range's activation/dropout ops exactly
+            # (models/directgcn.py:515-537) — the parity suite checks it.
+            lead = _rg_lead(graph)
+            xc = _unpack(carry, in_dim, lead).astype(ct)
+            gates = _gate_products(lp, lead)
+            acc = None
+            ys = []
+            for (wk, bm, bs, adj_attr), gate in zip(_PATHS, gates):
+                proj = xc @ wp(lp[wk] + lp["w_shared"]).astype(ct)
+                y = propagate(getattr(graph, adj_attr), proj, use_pallas)
+                ys.append(pack_rg_carry(y[..., :out_dim]))
+                contrib = gate.astype(ct) * (y + bp(lp[bm] + lp[bs]).astype(ct))
+                acc = contrib if acc is None else acc + contrib
+                xc, acc, _y = jax.lax.optimization_barrier((xc, acc, ys[-1]))
+                ys[-1] = _y
+            s = (acc + _const_pad(lp, lead))[..., :out_dim]
+            res = (
+                xc if rp is None
+                else xc @ rp["w"].astype(xc.dtype) + rp["b"].astype(xc.dtype)
+            )
+            out = jax.nn.leaky_relu(s + res, negative_slope=slope)
+            if dropout > 0:
+                keep = 1.0 - dropout
+                mask = jax.random.bernoulli(_keys(rng)[li], keep, out.shape)
+                out = jnp.where(mask, out / keep, 0.0)
+            return pack_rg_carry(out.astype(ct)), tuple(ys)
+
+        @jax.jit
         def ys_fwd(lp, graph, carry):
             # saved-y mode: emit ONLY the three packed propagation outputs —
             # no pre-activation accumulator, no s materialisation (tail_bwd
@@ -606,6 +639,21 @@ def make_train_step_staged(
             s = _unpack(s_packed, out_dim, lead)
             return _tail_core(lp, rp, carry, s, g_packed, rng, lead)
 
+        _xc_prep = save_y and in_dim < 128 and 128 % in_dim == 0
+
+        @jax.jit
+        def path_prep(ds_packed, carry):
+            # ONE unpack of ds (padded to the propagation width) and of the
+            # input carry, shared by all three path backwards — each path
+            # paying its own ~25 ms relayouts was a third of the path cost.
+            lead = _rg_lead(graph_ref[0])
+            du = _unpack(ds_packed, out_dim, lead)
+            if f_pad != out_dim:
+                du = jnp.pad(du, ((0, 0), (0, 0), (0, f_pad - out_dim)))
+            if _xc_prep:
+                return du, _unpack(carry, in_dim, lead).astype(ct)
+            return (du,)  # unpacked-input layers pass the carry straight through
+
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def ds_from_carry(g_packed, c_out_packed):
             # The retained OUTPUT carry already encodes everything the tail
@@ -655,13 +703,18 @@ def make_train_step_staged(
                     jnp.stack(sums, axis=-1).reshape(a, rows * kf)[:, :g_real, None]
                 )
 
-            def _body(lp, rp, graph, carry, y_p, ds_packed, dxc_acc):
+            def _body(lp, rp, graph, carry, y_p, ds_packed, dxc_acc, du=None):
                 lead = _rg_lead(graph)
-                xc = _unpack(carry, in_dim, lead).astype(ct)
+                # saved mode receives the input pre-unpacked (path_prep for
+                # packable widths, or the raw unpacked carry otherwise).
+                xc = carry if save_y else _unpack(carry, in_dim, lead).astype(ct)
                 gate = _gate_products(lp, lead)[i].astype(ct)
                 wc = wp(lp[wk] + lp["w_shared"]).astype(ct)
                 adj = getattr(graph, adj_attr)
-                du0 = _unpack(ds_packed, out_dim, lead)
+                du0 = (
+                    du[..., :out_dim] if (save_y and f_pad != out_dim)
+                    else (du if save_y else _unpack(ds_packed, out_dim, lead))
+                )
                 dwres = None
                 if save_y:
                     dgate = _dgate_packed(lp, ds_packed, y_p, lead)
@@ -695,9 +748,10 @@ def make_train_step_staged(
                             rp["b"].dtype
                         ),
                     )
-                du = du0
-                if f_pad != out_dim:
-                    du = jnp.pad(du0, ((0, 0), (0, 0), (0, f_pad - out_dim)))
+                if not save_y:
+                    du = du0
+                    if f_pad != out_dim:
+                        du = jnp.pad(du0, ((0, 0), (0, 0), (0, f_pad - out_dim)))
                 dprop = gate * du
                 db = jnp.sum(dprop.astype(jnp.float32), axis=(0, 1))[:out_dim]
                 # Pipeline B only after pipeline A's consumers finish.
@@ -720,8 +774,8 @@ def make_train_step_staged(
             if first:
                 if save_y:
                     @functools.partial(jax.jit, donate_argnums=(4,))
-                    def path_first_saved(lp, rp, graph, carry, y_p, ds_p):
-                        return _body(lp, rp, graph, carry, y_p, ds_p, None)
+                    def path_first_saved(lp, rp, graph, xc_u, y_p, ds_p, du):
+                        return _body(lp, rp, graph, xc_u, y_p, ds_p, None, du)
 
                     return path_first_saved
 
@@ -731,9 +785,16 @@ def make_train_step_staged(
 
                 return path_first
             if save_y:
-                @functools.partial(jax.jit, donate_argnums=(3, 5))
-                def path_rest_saved(lp, graph, carry, y_p, ds_p, dxc_acc):
-                    return _body(lp, None, graph, carry, y_p, ds_p, dxc_acc)
+                # The LAST path donates the shared prepped du (and the
+                # prep-unpacked input when it is a distinct buffer).
+                if i < 2:
+                    donate = (3, 6)
+                else:
+                    donate = (2, 3, 5, 6) if _xc_prep else (3, 5, 6)
+
+                @functools.partial(jax.jit, donate_argnums=donate)
+                def path_rest_saved(lp, graph, xc_u, y_p, ds_p, du, dxc_acc):
+                    return _body(lp, None, graph, xc_u, y_p, ds_p, dxc_acc, du)
 
                 return path_rest_saved
 
@@ -821,6 +882,9 @@ def make_train_step_staged(
                     )
                     _sync(f"refwd_out{k}", carry_out)
                 ds_p = ds_from_carry(g_next, carry_out)
+                prep = path_prep(ds_p, carry)
+                du = prep[0]
+                xc_u = prep[1] if _xc_prep else carry
                 dwres = None  # rp-case grads come from path 0
             else:
                 ys = ()
@@ -831,10 +895,15 @@ def make_train_step_staged(
             dws, dbs, dgates = [], [], []
             dxc = None
             for i in range(3):
-                if i == 0:
-                    args = (lp, rp, graph, carry) + ((ys[i],) if save_y else ()) + (ds_p,)
+                if save_y:
+                    if i == 0:
+                        args = (lp, rp, graph, xc_u, ys[i], ds_p, du)
+                    else:
+                        args = (lp, graph, xc_u, ys[i], ds_p, du, dxc)
+                elif i == 0:
+                    args = (lp, rp, graph, carry, ds_p)
                 else:
-                    args = (lp, graph, carry) + ((ys[i],) if save_y else ()) + (ds_p, dxc)
+                    args = (lp, graph, carry, ds_p, dxc)
                 out = path_bwds[i](*args)
                 if i == 0 and save_y:
                     dw, db, dgate, dxc, dwres = out
@@ -853,10 +922,11 @@ def make_train_step_staged(
             new_pk, new_state, l2_k = assemble_update(
                 pk, opt_state_k, (dws, dbs, dgates, dwres, ds_p)
             )
-            _sync(f"update{k}", l2_k)
+            _sync(f"update{k}", l2_k, big=False)
             return new_pk, new_state, g_c, l2_k
 
         run.save_y = save_y  # step() uses this for output-carry retention
+        run.fwd_with_ys = fwd_with_ys if save_y else None
         return run
 
     # Carry-holding policy: a boundary carry is held device-resident only
@@ -950,13 +1020,32 @@ def make_train_step_staged(
             [(round(a.nbytes / 2**20), str(a.shape), str(a.dtype)) for a in top],
         )
 
+    # The TOP manual stage's forward emits its packed ys alongside the
+    # carry: its backward runs right after the lean decoder-only final
+    # stage, so the ys only stay resident across that one stage and the
+    # backward's ys_fwd recompute (3 propagations) disappears.
+    top_manual = (
+        m - 2
+        if (m - 2) in manual_fns and manual_fns[m - 2].save_y
+        else None
+    )
+
     def step(params, opt_state, graph, x, y, mask, weight_factor, rng, original_indices):
         assert original_indices is None, "staged step is full-batch only"
         _last[0] = time.perf_counter()
         stage_ps = [_stage_params(params, k) for k in range(m)]
         carries = [x]
+        top_ys = None
         for k in range(m - 1):
-            carries.append(stage_fwd_fns[k](stage_ps[k], graph, carries[-1], rng))
+            if k == top_manual:
+                fn = manual_fns[k].fwd_with_ys
+                c_next, top_ys = fn(
+                    stage_ps[k]["layers"][0], stage_ps[k]["res_projs"][0],
+                    graph, carries[-1], rng,
+                )
+                carries.append(c_next)
+            else:
+                carries.append(stage_fwd_fns[k](stage_ps[k], graph, carries[-1], rng))
             if k >= 1 and not held[k]:
                 carries[k] = None  # free: stage k recomputes it at backward
             _sync(f"fwd{k}", carries[-1])
@@ -971,7 +1060,7 @@ def make_train_step_staged(
         stage_ps[m - 1], new_states[m - 1] = update_fns[m - 1](
             stage_ps[m - 1], opt_state.stages[m - 1], g_p
         )
-        _sync("final_update", new_states[m - 1])
+        _sync("final_update", new_states[m - 1], big=False)
         def materialize_carry(k):
             # Regenerate a non-held carry by re-running stage forwards from
             # the nearest held one (their params are pre-update here).
@@ -992,7 +1081,9 @@ def make_train_step_staged(
                 stage_ps[k], new_states[k], g_c, l2_k = manual_fns[k](
                     stage_ps[k], opt_state.stages[k], graph, carry_k, g_c, rng,
                     carry_out=c_out,
+                    ys=top_ys if k == top_manual else None,
                 )
+                top_ys = None
                 carries[k + 1] = None  # donated into ds_from_carry (or stale)
                 if not _retains_carry(k):
                     carries[k] = None
@@ -1013,7 +1104,7 @@ def make_train_step_staged(
             stage_ps[k], new_states[k] = update_fns[k](
                 stage_ps[k], opt_state.stages[k], g_p
             )
-            _sync(f"update{k}", new_states[k])
+            _sync(f"update{k}", new_states[k], big=False)
         if m > 1:
             if 0 in manual_fns:
                 c_out0 = carries[1] if manual_fns[0].save_y else None
@@ -1028,7 +1119,7 @@ def make_train_step_staged(
                 stage_ps[0], new_states[0] = update_fns[0](
                     stage_ps[0], opt_state.stages[0], g_p
                 )
-                _sync("update0", new_states[0])
+                _sync("update0", new_states[0], big=False)
             l2_sum = l2_sum + l2_0
 
         params = {
