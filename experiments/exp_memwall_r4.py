@@ -149,7 +149,37 @@ def phase_profile():
     log(f"sum of stage means: {total:.3f}s over {len(breakdown)} syncs")
 
 
+def phase_opt():
+    """Production-mode timing: no PROTGRAM_STAGE_TIMING, so the big=False
+    optimizer-update syncs are skipped (each costs a ~25 ms tunnel RTT)."""
+    # The flag is read at step-BUILD time (make_train_step_staged factory
+    # scope), so popping it before building is sufficient.
+    os.environ.pop("PROTGRAM_STAGE_TIMING", None)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+
+    dg = build_graph(jnp)
+    step, params, opt_state, inputs = make_step_inputs(jax, jnp, dg)
+    times, losses = run_steps(jax, jnp, step, params, opt_state, dg, inputs, 6,
+                              "opt")
+    steady = sorted(times[1:])
+    RESULTS["opt"] = {
+        "layer_dims": [128, 128, 64, 64, 32],
+        "step_times_s": [round(t, 3) for t in times],
+        "median_steady_s": round(steady[len(steady) // 2], 3),
+        "losses": [round(v, 4) for v in losses],
+        "r3_baseline_s": 5.06,
+    }
+    with open(RESULTS_PATH, "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    log(f"opt median steady step: {RESULTS['opt']['median_steady_s']}s (r3: 5.06s)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "profile"
     if which in ("profile", "all"):
         phase_profile()
+    if which in ("opt", "all"):
+        phase_opt()
