@@ -453,14 +453,29 @@ def _combine_paths(p, x, ic, oc, uc, original_indices):
     return out
 
 
+def _use_retile_pallas() -> bool:
+    """Route pack/unpack through the Pallas retile kernels on TPU: the
+    jit-level lane-split/merge reshapes are 4-7x over HBM bandwidth there
+    (pack 20 ms / unpack 27 ms at 5-gram scale vs 8.6 / 12.9 in-kernel —
+    experiments/exp_unpack_r4.py; ops/pallas_retile.py)."""
+    import os
+
+    knob = os.environ.get("PROTGRAM_RETILE_PALLAS", "auto")
+    if knob in ("0", "off"):
+        return False
+    if knob in ("1", "on"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def pack_rg_carry(t: jnp.ndarray, active: bool = True) -> jnp.ndarray:
     """Pack a sub-128-lane rg carry [A, G, F] to full 128-lane rows
     [A, ceil(G/(128/F)), 128].
 
     A [A, G, 64] bf16 carry physically occupies the 128-lane tile footprint
     (997 MB at 5-gram scale, 2x its logical bytes; 4x for 32-wide); packed,
-    a SAVED or jit-boundary buffer is its logical size.  The reshape is a
-    bandwidth-rate relayout copy (~2 ms at 5-gram scale)."""
+    a SAVED or jit-boundary buffer is its logical size.  Pad slots are
+    ZEROS (packed elementwise consumers rely on it)."""
     if not active or t.ndim != 3:
         return t
     a, g, f = t.shape
@@ -470,6 +485,10 @@ def pack_rg_carry(t: jnp.ndarray, active: bool = True) -> jnp.ndarray:
     gp = -(-g // k) * k
     if gp != g:
         t = jnp.pad(t, ((0, 0), (0, gp - g), (0, 0)))
+    if _use_retile_pallas():
+        from protgram_directgcn_tpu.ops.pallas_retile import pack_rg_pallas
+
+        return pack_rg_pallas(t, f)
     return t.reshape(a, gp // k, 128)
 
 
@@ -478,6 +497,10 @@ def unpack_rg_carry(t: jnp.ndarray, f: int, g_real: int) -> jnp.ndarray:
     if t.ndim != 3 or t.shape[-1] == f:
         return t
     k = 128 // f
+    if _use_retile_pallas():
+        from protgram_directgcn_tpu.ops.pallas_retile import unpack_pad_rg_pallas
+
+        return unpack_pad_rg_pallas(t, f)[:, :g_real, :f]
     return t.reshape(t.shape[0], t.shape[1] * k, f)[:, :g_real, :]
 
 

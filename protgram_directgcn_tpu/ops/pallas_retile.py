@@ -1,0 +1,104 @@
+"""Pallas retile kernels: pack/unpack the sub-128-lane rg carry at HBM BW.
+
+The jit-level reshapes these replace are 4-7x over bandwidth on TPU
+(measured, experiments/exp_unpack_r4.py): XLA lowers the lane-split
+[A, GP, 128] -> [A, G, f] (and its inverse) as a degenerate relayout.
+Inside a kernel the same movement is a per-block register shuffle between
+a [gt, 128] tile and its [k*gt, f] interleaving, which Mosaic lowers to
+vector ops — the only HBM traffic is one read + one write.
+
+Layout contract (models/directgcn.pack_rg_carry): packed row r of plane a
+holds nodes g = r*k .. r*k+k-1 in consecutive f-wide lane segments, where
+k = 128 // f.
+
+reference: no counterpart (torch keeps a flat [N, F] layout throughout);
+this exists because sub-128-lane buffers pad 2-4x in HBM tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _unpack_body(i_ref, o_ref, *, k, f):
+    # [gt, 128] -> [k*gt, 128] with node j of each packed row landing on
+    # output row k*i+j, lanes [0:f] (the rest zero — consumers want the
+    # f_pad-padded form anyway).  Formulated as lane-concats plus a
+    # LEADING-dim reshape only; a direct (gt,128)->(k*gt,f) lane-split
+    # reshape does not lower in Mosaic.
+    x = i_ref[0]  # [gt, 128]
+    gt = x.shape[0]
+    zero = jnp.zeros((gt, 128 - f), x.dtype)
+    rows = [
+        jnp.concatenate([x[:, j * f:(j + 1) * f], zero], axis=1)[:, None, :]
+        for j in range(k)
+    ]  # k x [gt, 1, 128]
+    o_ref[0] = jnp.concatenate(rows, axis=1).reshape(gt * k, 128)
+
+
+def _pack_body(i_ref, o_ref, *, k, f):
+    # [k*gt, 128] (f_pad-padded rows; only lanes [0:f] read) -> [gt, 128]
+    # packed.  The (k*gt, 128) -> (gt, k*128) sublane-merge-into-lanes
+    # reshape DOES lower in Mosaic (strided sublane slices and middle-axis
+    # indexing do not); segments are then plain lane slices.
+    x = i_ref[0]  # [k*gt, 128]
+    gt = x.shape[0] // k
+    y = x.reshape(gt, k * 128)
+    o_ref[0] = jnp.concatenate([y[:, j * 128:j * 128 + f] for j in range(k)], axis=1)
+
+
+def _pack_exact_body(i_ref, o_ref, *, k, f):
+    # Exactly-f-wide rows: [k*gt, f] -> [gt, k*f = 128] is ONE legal
+    # sublane-merge-into-lanes reshape.
+    x = i_ref[0]
+    o_ref[0] = x.reshape(x.shape[0] // k, 128)
+
+
+_GT = 256  # packed rows per block; ragged tails are masked by pallas
+
+
+@functools.partial(jax.jit, static_argnames=("f", "interpret"))
+def unpack_pad_rg_pallas(t: jnp.ndarray, f: int, interpret: bool = False) -> jnp.ndarray:
+    """[A, GP, 128] packed -> [A, GP * (128 // f), 128] unpacked rows with
+    lanes [0:f] populated and the rest zero (the f_pad form the propagation
+    kernels and einsum consumers use; slice [..., :f] for the logical
+    carry — XLA fuses the slice into consumers)."""
+    a, gp, lanes = t.shape
+    assert lanes == 128 and 128 % f == 0 and f < 128, (t.shape, f)
+    k = 128 // f
+    gt = min(_GT, gp)
+    return pl.pallas_call(
+        functools.partial(_unpack_body, k=k, f=f),
+        grid=(a, -(-gp // gt)),
+        in_specs=[pl.BlockSpec((1, gt, 128), lambda i, j: (i, j, 0))],
+        out_specs=pl.BlockSpec((1, gt * k, 128), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((a, gp * k, 128), t.dtype),
+        interpret=interpret,
+    )(t)
+
+
+@functools.partial(jax.jit, static_argnames=("f", "interpret"))
+def pack_rg_pallas(t: jnp.ndarray, f: int, interpret: bool = False) -> jnp.ndarray:
+    """[A, G8, f] or [A, G8, 128] (f_pad-padded rows; only lanes [0:f] are
+    read) -> [A, G8 // (128 // f), 128] packed.  G8 must divide evenly by
+    the packing factor (pad g first otherwise)."""
+    a, g, lanes = t.shape
+    assert 128 % f == 0 and f < 128, (t.shape, f)
+    assert lanes in (f, 128), (t.shape, f)
+    k = 128 // f
+    assert g % k == 0, (g, k)
+    gp = g // k
+    gt = min(_GT, gp)
+    body = _pack_exact_body if lanes == f else _pack_body
+    return pl.pallas_call(
+        functools.partial(body, k=k, f=f),
+        grid=(a, -(-gp // gt)),
+        in_specs=[pl.BlockSpec((1, gt * k, lanes), lambda i, j: (i, j, 0))],
+        out_specs=pl.BlockSpec((1, gt, 128), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((a, gp, 128), t.dtype),
+        interpret=interpret,
+    )(t)
