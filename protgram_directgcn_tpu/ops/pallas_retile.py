@@ -51,11 +51,9 @@ def _pack_body(i_ref, o_ref, *, k, f):
     o_ref[0] = jnp.concatenate([y[:, j * 128:j * 128 + f] for j in range(k)], axis=1)
 
 
-def _pack_exact_body(i_ref, o_ref, *, k, f):
-    # Exactly-f-wide rows: [k*gt, f] -> [gt, k*f = 128] is ONE legal
-    # sublane-merge-into-lanes reshape.
-    x = i_ref[0]
-    o_ref[0] = x.reshape(x.shape[0] // k, 128)
+# NOTE: an "exact-width" body ([k*gt, f] -> [gt, 128] via one reshape) does
+# NOT lower in Mosaic — sub-128 lane input blocks crash the compiler; the
+# caller lane-pads exact-width inputs and uses _pack_body instead.
 
 
 _GT = 256  # packed rows per block; ragged tails are masked by pallas
@@ -91,13 +89,16 @@ def pack_rg_pallas(t: jnp.ndarray, f: int, interpret: bool = False) -> jnp.ndarr
     assert lanes in (f, 128), (t.shape, f)
     k = 128 // f
     assert g % k == 0, (g, k)
+    if lanes != 128:
+        # Sub-128 lane input blocks crash Mosaic; one lane pad (a
+        # bandwidth-rate copy) makes every pack shape kernel-legal.
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, 128 - lanes)))
     gp = g // k
     gt = min(_GT, gp)
-    body = _pack_exact_body if lanes == f else _pack_body
     return pl.pallas_call(
-        functools.partial(body, k=k, f=f),
+        functools.partial(_pack_body, k=k, f=f),
         grid=(a, -(-gp // gt)),
-        in_specs=[pl.BlockSpec((1, gt * k, lanes), lambda i, j: (i, j, 0))],
+        in_specs=[pl.BlockSpec((1, gt * k, 128), lambda i, j: (i, j, 0))],
         out_specs=pl.BlockSpec((1, gt, 128), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((a, gp, 128), t.dtype),
         interpret=interpret,

@@ -571,7 +571,7 @@ def make_train_step_staged(
             for (wk, bm, bs, adj_attr), gate in zip(_PATHS, gates):
                 proj = xc @ wp(lp[wk] + lp["w_shared"]).astype(ct)
                 y = propagate(getattr(graph, adj_attr), proj, use_pallas)
-                ys.append(pack_rg_carry(y[..., :out_dim]))
+                ys.append(_pack_y(y, lead))
                 contrib = gate.astype(ct) * (y + bp(lp[bm] + lp[bs]).astype(ct))
                 acc = contrib if acc is None else acc + contrib
                 xc, acc, _y = jax.lax.optimization_barrier((xc, acc, ys[-1]))
@@ -602,7 +602,7 @@ def make_train_step_staged(
             for (wk, bm, bs, adj_attr) in _PATHS:
                 proj = xc @ wp(lp[wk] + lp["w_shared"]).astype(ct)
                 y = propagate(getattr(graph, adj_attr), proj, use_pallas)
-                ys.append(pack_rg_carry(y[..., :out_dim]))
+                ys.append(_pack_y(y, lead))
                 xc, _last_y = jax.lax.optimization_barrier((xc, ys[-1]))
                 ys[-1] = _last_y
             return tuple(ys)
@@ -638,6 +638,22 @@ def make_train_step_staged(
             lead = _rg_lead(graph_ref[0])
             s = _unpack(s_packed, out_dim, lead)
             return _tail_core(lp, rp, carry, s, g_packed, rng, lead)
+
+        def _pack_y(y, lead):
+            # Pack the propagation output (already f_pad-wide) without
+            # materialising the [..., :out] slice: the Pallas pack kernel
+            # reads lanes [0:out] only (ops/pallas_retile.py).
+            from protgram_directgcn_tpu.models.directgcn import _use_retile_pallas
+
+            if f_pad != out_dim and _use_retile_pallas():
+                from protgram_directgcn_tpu.ops.pallas_retile import pack_rg_pallas
+
+                kf_ = 128 // out_dim
+                gpad = (-lead[1]) % kf_
+                if gpad:
+                    y = jnp.pad(y, ((0, 0), (0, gpad), (0, 0)))
+                return pack_rg_pallas(y, out_dim)
+            return pack_rg_carry(y[..., :out_dim])
 
         _xc_prep = save_y and in_dim < 128 and 128 % in_dim == 0
 
