@@ -233,6 +233,7 @@ def fivegram_scaling_report(
     shard_counts: Optional[List[int]] = None,
     iters: int = 2,
     num_seqs: int = 30_000,
+    curves: Optional[List[str]] = None,
 ) -> dict:
     """Scaling curves on the CACHED 5-gram bench graph — the workload
     BASELINE's weak-scaling bar names (VERDICT r2 item #3: the r2 curves
@@ -305,10 +306,17 @@ def fivegram_scaling_report(
         ]
 
     results: dict = {"graph": {"nodes": int(n), "nnz": int(nnz), "alpha": int(alpha)}}
+    wanted = set(
+        curves
+        if curves is not None
+        else ("halo", "tri_halo", "hyper_shard", "hyper_shard_tri", "gspmd")
+    )
 
     # ---- halo + tri-halo on the real matrix --------------------------------
     rng = np.random.default_rng(0)
     for curve in ("halo", "tri_halo"):
+        if curve not in wanted:
+            continue
         rates = []
         for d in shard_counts:
             mesh = make_mesh(d, feat_axis=1)
@@ -368,7 +376,7 @@ def fivegram_scaling_report(
     rates = []
     a = int(alpha)
     g_keys = a ** (codes.shape[1] - 1)
-    for d in shard_counts:
+    for d in shard_counts if "hyper_shard" in wanted else []:
         mesh = make_mesh(d, feat_axis=1)
         tables = build_hyper_shard_tables(a, g_keys, d)
         adj = build_hyper_shard(
@@ -392,7 +400,8 @@ def fivegram_scaling_report(
             "[5gram hyper_shard] D=%d: %.1f ms/step, %.1fM edges/s",
             d, best * 1e3, rates[-1][1] / 1e6,
         )
-    results["hyper_shard"] = points_from(rates, n, nnz)
+    if "hyper_shard" in wanted:
+        results["hyper_shard"] = points_from(rates, n, nnz)
 
     # ---- Batched tri exchange: the production layer operator in the
     # G-sharded format — the three matrices' exchanges ride ONE all_to_all
@@ -403,7 +412,7 @@ def fivegram_scaling_report(
     )
 
     rates = []
-    for d in shard_counts:
+    for d in shard_counts if "hyper_shard_tri" in wanted else []:
         mesh = make_mesh(d, feat_axis=1)
         tables = build_hyper_shard_tables(a, g_keys, d)
         adj = build_hyper_shard(
@@ -433,7 +442,8 @@ def fivegram_scaling_report(
             "[5gram hyper_tri] D=%d: %.1f ms/step, %.1fM edges/s",
             d, best * 1e3, rates[-1][1] / 1e6,
         )
-    results["hyper_shard_tri"] = points_from(rates, n, 3 * nnz)
+    if "hyper_shard_tri" in wanted:
+        results["hyper_shard_tri"] = points_from(rates, n, 3 * nnz)
 
     # ---- GSPMD row-sharded ELL (VERDICT r3 weak #7: measure, or demote to
     # debug-only).  The adjacency rows and features shard along "nodes";
@@ -443,9 +453,9 @@ def fivegram_scaling_report(
     from protgram_directgcn_tpu.ops.spmm import propagate as spmm_propagate
     from protgram_directgcn_tpu.parallel.mesh import _pad_rows_to, _put
 
-    ell0 = build_ell(src, tgt, val, n)
+    ell0 = build_ell(src, tgt, val, n) if "gspmd" in wanted else None
     rates = []
-    for d in shard_counts:
+    for d in shard_counts if "gspmd" in wanted else []:
         mesh = make_mesh(d, feat_axis=1)
         from protgram_directgcn_tpu.ops.spmm import EllAdj
 
@@ -474,7 +484,8 @@ def fivegram_scaling_report(
             "[5gram gspmd] D=%d: %.1f ms/step, %.1fM edges/s",
             d, best * 1e3, rates[-1][1] / 1e6,
         )
-    results["gspmd"] = points_from(rates, n, nnz)
+    if "gspmd" in wanted:
+        results["gspmd"] = points_from(rates, n, nnz)
     return results
 
 
