@@ -59,12 +59,18 @@ def _pack_body(i_ref, o_ref, *, k, f):
 _GT = 256  # packed rows per block; ragged tails are masked by pallas
 
 
-@functools.partial(jax.jit, static_argnames=("f", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def unpack_pad_rg_pallas(t: jnp.ndarray, f: int, interpret: bool = False) -> jnp.ndarray:
     """[A, GP, 128] packed -> [A, GP * (128 // f), 128] unpacked rows with
     lanes [0:f] populated and the rest zero (the f_pad form the propagation
     kernels and einsum consumers use; slice [..., :f] for the logical
-    carry — XLA fuses the slice into consumers)."""
+    carry — XLA fuses the slice into consumers).  Linear: its VJP is the
+    pack kernel (and vice versa), so both differentiate freely."""
+    return _unpack_pad_impl(t, f, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("f", "interpret"))
+def _unpack_pad_impl(t: jnp.ndarray, f: int, interpret: bool = False) -> jnp.ndarray:
     a, gp, lanes = t.shape
     assert lanes == 128 and 128 % f == 0 and f < 128, (t.shape, f)
     k = 128 // f
@@ -79,11 +85,16 @@ def unpack_pad_rg_pallas(t: jnp.ndarray, f: int, interpret: bool = False) -> jnp
     )(t)
 
 
-@functools.partial(jax.jit, static_argnames=("f", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def pack_rg_pallas(t: jnp.ndarray, f: int, interpret: bool = False) -> jnp.ndarray:
     """[A, G8, f] or [A, G8, 128] (f_pad-padded rows; only lanes [0:f] are
     read) -> [A, G8 // (128 // f), 128] packed.  G8 must divide evenly by
-    the packing factor (pad g first otherwise)."""
+    the packing factor (pad g first otherwise).  Linear; VJP = unpack."""
+    return _pack_impl(t, f, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("f", "interpret"))
+def _pack_impl(t: jnp.ndarray, f: int, interpret: bool = False) -> jnp.ndarray:
     a, g, lanes = t.shape
     assert 128 % f == 0 and f < 128, (t.shape, f)
     assert lanes in (f, 128), (t.shape, f)
@@ -103,3 +114,31 @@ def pack_rg_pallas(t: jnp.ndarray, f: int, interpret: bool = False) -> jnp.ndarr
         out_shape=jax.ShapeDtypeStruct((a, gp, 128), t.dtype),
         interpret=interpret,
     )(t)
+
+
+def _unpack_fwd(t, f, interpret):
+    return _unpack_pad_impl(t, f, interpret), None
+
+
+def _unpack_bwd(f, interpret, _res, g):
+    # d/dt of the unpacked-padded form: gather each node's [0:f] lanes back
+    # into packed rows — exactly the pack kernel (pad-lane cotangents are
+    # ignored, matching the zeros the forward wrote there).
+    return (_pack_impl(g, f, interpret),)
+
+
+unpack_pad_rg_pallas.defvjp(_unpack_fwd, _unpack_bwd)
+
+
+def _pack_fwd(t, f, interpret):
+    return _pack_impl(t, f, interpret), t.shape[-1]
+
+
+def _pack_bwd(f, interpret, in_lanes, g):
+    dt = _unpack_pad_impl(g, f, interpret)
+    if in_lanes != 128:
+        dt = dt[..., :in_lanes]
+    return (dt,)
+
+
+pack_rg_pallas.defvjp(_pack_fwd, _pack_bwd)

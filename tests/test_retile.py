@@ -58,3 +58,31 @@ def test_model_pack_unpack_route_equivalence(monkeypatch):
     np.testing.assert_array_equal(np.asarray(packed_k), np.asarray(packed_ref))
     un_k = unpack_pad_rg_pallas(packed_k, 64, interpret=True)[:, :11, :64]
     np.testing.assert_array_equal(np.asarray(un_k), np.asarray(t))
+
+
+@pytest.mark.parametrize("f", [64, 32])
+def test_retile_custom_vjps(f):
+    """Both kernels are linear; their VJPs are each other.  float64-oracle
+    via the reshape formulation."""
+    a, gp = 2, 8
+    k = 128 // f
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((a, gp, 128)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((a, gp * k, 128)).astype(np.float32))
+
+    def loss_u(t):
+        return jnp.sum(unpack_pad_rg_pallas(t, f, True) * ct)
+
+    dx = np.asarray(jax.grad(loss_u)(x))
+    ref = np.asarray(pack_rg_pallas(ct, f, True))
+    np.testing.assert_array_equal(dx, ref)
+
+    u = unpack_pad_rg_pallas(x, f, True)[..., :f]
+    ct2 = jnp.asarray(rng.standard_normal((a, gp, 128)).astype(np.float32))
+
+    def loss_p(t):
+        return jnp.sum(pack_rg_pallas(t, f, True) * ct2)
+
+    du = np.asarray(jax.grad(loss_p)(u))
+    ref2 = np.asarray(unpack_pad_rg_pallas(ct2, f, True))[..., :f]
+    np.testing.assert_array_equal(du, ref2)
