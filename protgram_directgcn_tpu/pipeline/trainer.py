@@ -1127,7 +1127,9 @@ def make_train_step_staged(
                 stage_ps[0], new_states[0], _, l2_0 = manual_fns[0](
                     stage_ps[0], opt_state.stages[0], graph, x, g_c, rng,
                     carry_out=c_out0,
+                    ys=top_ys if 0 == top_manual else None,
                 )
+                top_ys = None
                 carries[1] = None
             else:
                 g_p, l2_0 = stage0_grad_fn(stage_ps[0], graph, x, g_c, rng)
