@@ -330,6 +330,13 @@ class ParallelConfig:
     # Edge partitioning strategy for multi-chip: "block" (contiguous node
     # ranges) or "bfs" (locality-grown partitions).
     partition_strategy: str = "block"
+    # Batched tri exchange for the hypercube mode (HyperShardTri: ONE
+    # all_to_all pair per layer direction instead of three).  "auto" uses it
+    # on TPU meshes only — it amortises ICI collective latency, while on
+    # the CPU test mesh the batched buffers just add copies (SCALING_r04:
+    # hyper_shard_tri retains 0.51 vs per-matrix 0.74 at 8 virtual
+    # devices); "on"/"off" force either way.
+    hyper_tri: str = "auto"
     # Debug: assert cross-shard checksums on exchanged halo features.
     debug_checksums: bool = False
 

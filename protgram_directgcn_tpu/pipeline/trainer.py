@@ -1555,16 +1555,23 @@ class HierarchicalTrainer:
             p_in = mk(graph.mathcal_a_in())
             p_out = mk(graph.mathcal_a_out())
             p_und = mk(graph.undirected_norm())
+            # Layer-level batched-exchange operator: ONE collective pair per
+            # layer direction instead of three (propagate3 consumes it).
+            # "auto" = TPU meshes only: it amortises ICI collective latency;
+            # on the CPU test mesh the batched buffers just add copies
+            # (SCALING_r04 hyper_shard_tri vs hyper_shard).
+            knob = getattr(self.config.parallel, "hyper_tri", "auto")
+            use_tri = (
+                knob == "on"
+                or (knob == "auto" and jax.default_backend() == "tpu")
+            )
             return DeviceGraph(
                 p_in=p_in,
                 p_out=p_out,
                 p_und=p_und,
                 num_nodes=p_in.n_out,
                 node_map=p_in.node_map,
-                # Layer-level batched-exchange operator: ONE collective pair
-                # per layer direction instead of three (propagate3 consumes
-                # it; tables are shared across the three matrices).
-                tri=HyperShardTri(adjs=(p_in, p_out, p_und)),
+                tri=HyperShardTri(adjs=(p_in, p_out, p_und)) if use_tri else None,
             )
         except BlockStructureError as exc:
             logger.info("hypercube sharding refused: %s", exc)
