@@ -1971,6 +1971,8 @@ class HierarchicalTrainer:
                         ckpt.save_train_state(ckpt_dir, epoch, params, opt_state)
             logger.info("full-batch training: %d epochs in %.1fs (final loss %.5f)",
                         epochs_run, time.monotonic() - t0, loss_val)
+            # Exposed for harnesses (dryrun legs print per-mode losses).
+            self.last_level_loss = loss_val
 
         # Eval-mode embedding extraction on the full graph
         # (reference: models_utils.py:264-273).  Graph passed as a jit
