@@ -83,7 +83,7 @@ class SkipGramModel:
             return None
         b = rng.integers(1, window + 1, L)
         cs, xs = [], []
-        for off in range(1, window + 1):
+        for off in range(1, min(window, L - 1) + 1):
             keep_f = b[: L - off] >= off  # center on the left
             keep_b = b[off:] >= off  # center on the right
             cs.append(ids[: L - off][keep_f])
@@ -92,10 +92,19 @@ class SkipGramModel:
             xs.append(ids[: L - off][keep_b])
         return np.concatenate(cs), np.concatenate(xs)
 
-    def train(self, corpus_ids: List[np.ndarray], window: int, negative: int,
+    def train(self, corpus_ids, window: int, negative: int,
               epochs: int, batch_size: int, counts: np.ndarray, seed: int = 42,
               sample: float = 1e-3, block_pairs: int = 1 << 20) -> float:
-        """Stream epochs of subsampled, dynamic-window skip-gram pairs."""
+        """Stream epochs of subsampled, dynamic-window skip-gram pairs.
+
+        ``corpus_ids`` is either a list of per-sequence id arrays or a
+        ZERO-ARG CALLABLE returning a fresh iterator of them — the streaming
+        form: each epoch re-reads the corpus from its source (as gensim's
+        trainer re-streams its corpus file per epoch,
+        reference: word2vec_embedder.py:89-100), so nothing scales with
+        corpus size in memory and the ~100M-residue in-memory ceiling
+        disappears."""
+        corpus_iter = corpus_ids if callable(corpus_ids) else (lambda: iter(corpus_ids))
         counts = np.asarray(counts, np.float64)
         freq = counts / max(1.0, counts.sum())
         if sample and sample > 0:
@@ -107,7 +116,7 @@ class SkipGramModel:
 
         # Planned updates for the linear LR decay: expected kept tokens x
         # expected window (dynamic window mean = (window+1)/2, both sides).
-        kept_total = sum(float(keep_prob[ids].sum()) for ids in corpus_ids if len(ids))
+        kept_total = sum(float(keep_prob[ids].sum()) for ids in corpus_iter() if len(ids))
         planned_pairs = max(1.0, epochs * kept_total * (window + 1))
 
         # Unigram^0.75 negative-sampling distribution.
@@ -137,7 +146,7 @@ class SkipGramModel:
 
         for epoch in range(epochs):
             buf_c, buf_x, buffered = [], [], 0
-            for ids in corpus_ids:
+            for ids in corpus_iter():
                 if len(ids) < 2:
                     continue
                 kept = ids[rng.random(len(ids)) < keep_prob[ids]]
@@ -171,10 +180,13 @@ class SkipGramModel:
         (reference: word2vec_embedder.py:102-104) can load this framework's
         vectors without gensim being installed HERE.
 
-        Binary layout: ascii header ``"<vocab> <dim>\\n"``, then per token
-        ``b"<token> "`` followed by ``dim`` little-endian float32s and a
-        newline.  Text layout: header then one ``"<token> v1 v2 ..."`` line
-        per token."""
+        Binary layout (BYTE-IDENTICAL to gensim's ``_save_word2vec_format``):
+        ascii header ``"<vocab> <dim>\\n"``, then per token ``b"<token> "``
+        followed by ``dim`` little-endian float32s — no separator after the
+        vector (the original word2vec.c adds a ``\\n`` there; gensim does
+        not, and its loader accepts both).  Text layout: header then one
+        ``"<token> v1 v2 ..."`` line per token (``repr`` floats, as gensim
+        writes them)."""
         vecs = self.vectors().astype(np.float32)
         with open(path, "wb") as f:
             f.write(f"{len(self.vocab)} {vecs.shape[1]}\n".encode("utf8"))
@@ -182,11 +194,40 @@ class SkipGramModel:
                 if binary:
                     f.write(token.encode("utf8") + b" ")
                     f.write(row.astype("<f4").tobytes())
-                    f.write(b"\n")
                 else:
                     f.write(
                         (token + " " + " ".join(repr(float(v)) for v in row) + "\n").encode("utf8")
                     )
+
+    @classmethod
+    def load_word2vec_format(cls, path: os.PathLike, binary: bool = True) -> "SkipGramModel":
+        """Read the word2vec C format back (gensim-loader semantics: the
+        token is bytes-up-to-space with leading newlines skipped, so both
+        gensim files and word2vec.c files with per-row trailing ``\\n``
+        parse)."""
+        with open(path, "rb") as f:
+            n_vocab, dim = (int(v) for v in f.readline().split())
+            vocab, rows = [], np.empty((n_vocab, dim), dtype=np.float32)
+            for i in range(n_vocab):
+                word = b""
+                while True:
+                    ch = f.read(1)
+                    if not ch:
+                        raise ValueError(f"truncated word2vec file at token {i}")
+                    if ch == b" ":
+                        break
+                    if ch != b"\n":  # skip word2vec.c row separators
+                        word += ch
+                if binary:
+                    rows[i] = np.frombuffer(f.read(dim * 4), dtype="<f4")
+                else:
+                    parts = (word + b" " + f.readline()).split()
+                    word = parts[0]
+                    rows[i] = [float(v) for v in parts[1:]]
+                vocab.append(word.decode("utf8"))
+        model = cls(vocab, dim)
+        model.params = {"in": jnp.asarray(rows), "out": model.params["out"]}
+        return model
 
     @classmethod
     def load(cls, path: os.PathLike) -> "SkipGramModel":
@@ -212,28 +253,33 @@ class Word2VecEmbedder:
         output_dir = ensure_dir(output_dir or cfg.paths.word2vec_embeddings_dir)
         t0 = time.time()
 
-        sequences = list(parse_fasta(fasta_path))
-        if not sequences:
-            logger.error("no sequences for word2vec at %s", fasta_path)
-            return None
-
-        # Vocabulary with min_count filtering.
+        # Vocab pass: one STREAMING sweep over the FASTA (the corpus is never
+        # materialised in memory at any point in this pipeline — each of the
+        # vocab / train / pooling passes re-streams from disk, matching the
+        # reference's streamed corpus, reference: word2vec_embedder.py:31-160).
         from collections import Counter
 
         counter = Counter()
-        for _, seq in sequences:
+        n_seqs = 0
+        for _, seq in parse_fasta(fasta_path):
             counter.update(seq)
+            n_seqs += 1
+        if n_seqs == 0:
+            logger.error("no sequences for word2vec at %s", fasta_path)
+            return None
         vocab = sorted(t for t, c in counter.items() if c >= w2v.min_count)
         counts = np.array([counter[t] for t in vocab], dtype=np.int64)
-        logger.info("skip-gram vocab: %d residue symbols", len(vocab))
+        logger.info("skip-gram vocab: %d residue symbols (%d sequences)", len(vocab), n_seqs)
 
         model = SkipGramModel(vocab, w2v.vector_size, lr=w2v.lr,
                               seed=cfg.random_state, min_alpha=w2v.min_alpha)
         tok = model.token_to_id
-        corpus_ids = [
-            np.array([tok[c] for c in seq if c in tok], dtype=np.int32) for _, seq in sequences
-        ]
-        model.train(corpus_ids, w2v.window, w2v.negative, w2v.epochs,
+
+        def corpus_stream():
+            for _, seq in parse_fasta(fasta_path):
+                yield np.array([tok[c] for c in seq if c in tok], dtype=np.int32)
+
+        model.train(corpus_stream, w2v.window, w2v.negative, w2v.epochs,
                     w2v.batch_size, counts, seed=cfg.random_state, sample=w2v.sample)
         model_path = os.path.join(str(output_dir), f"word2vec_model_dim{w2v.vector_size}.npz")
         model.save(model_path)
@@ -261,7 +307,7 @@ class Word2VecEmbedder:
 
         vectors = model.vectors()
         protein_embeddings: Dict[str, np.ndarray] = {}
-        for pid, seq in sequences:
+        for pid, seq in parse_fasta(fasta_path):
             ids = np.array([tok[c] for c in seq if c in tok], dtype=np.int64)
             if len(ids) == 0:
                 continue
