@@ -291,6 +291,9 @@ class GNNBenchmarker:
                 "dataset": variant, "model": name,
                 "best_val_accuracy": best_val, "test_accuracy": best_test,
                 "test_accuracy_std": test_std, "n_seeds": n_seeds,
+                # Per-seed values enable PAIRED statistics downstream
+                # (Wilcoxon vs the zoo per dataset, utils/results.py).
+                "seed_test_accuracies": [round(float(t), 4) for t in tests],
                 "synthetic": bool(ds.synthetic),
             })
             if metrics is not None:

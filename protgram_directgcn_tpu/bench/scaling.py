@@ -284,8 +284,12 @@ def fivegram_scaling_report(
         for _ in range(1):
             out = fn(out)
         fetch(out)  # compile + warm
+        # best-of-3: on a shared 2-core host scheduler noise only ADDS time,
+        # so the min approximates the clean run; the r5 runner then takes the
+        # MEDIAN of these across >=5 subprocess runs (ratio-of-medians
+        # methodology, VERDICT r4 #3).
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             out = x0
             for _ in range(iters):

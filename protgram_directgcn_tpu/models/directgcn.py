@@ -191,7 +191,12 @@ def _gather_node_params(p: Params, original_indices: Optional[jnp.ndarray]):
     names = ("c_in", "c_out", "c_directed", "c_undirected", "c_all")
     if original_indices is not None and p["c_in"].ndim == 2:
         gates = tuple(p[n][original_indices] for n in names)
-        const = p["constant"][original_indices] if p["constant"] is not None else 0.0
+        const = p["constant"]
+        if const is not None and const.ndim == 3:
+            # rg-native stored constant (trainer hypercube levels): restore
+            # the flat node axis for the subgraph gather.
+            const = const.reshape(-1, const.shape[-1])
+        const = const[original_indices] if const is not None else 0.0
     else:
         gates = tuple(p[n] for n in names)
         const = p["constant"] if p["constant"] is not None else 0.0

@@ -260,12 +260,41 @@ def _local_apply(d_loc, w1, w2, x_loc, x_gc_flat, z_gc_to_rg, scale, shift):
     return out.astype(x_loc.dtype)
 
 
+def _wire_dtype(rows_dtype):
+    """Collective wire format (VERDICT r4 #3: halve all-to-all bytes).
+
+    PROTGRAM_HS_WIRE: "auto" (default) keeps the feature dtype — under bf16
+    compute the wire is already bf16; "bf16" forces f32 features onto a bf16
+    wire (matches the single-chip kernels' bf16 inter-kernel z precision);
+    "off" never casts."""
+    import os
+
+    knob = os.environ.get("PROTGRAM_HS_WIRE", "auto")
+    if knob == "bf16" and rows_dtype.itemsize > 2:
+        return jnp.bfloat16
+    return None
+
+
 def _exchange_start(send_idx, rows, axis, d_count):
     """Issue one padded all_to_all: gather per-peer rows and exchange.
     ``rows`` [L, F]; returns the raw [D, S, F] receive buffer."""
     s = send_idx.shape[1]
     f = rows.shape[1]
+    wd = _wire_dtype(rows.dtype)
+    if wd is not None:
+        rows = rows.astype(wd)
     send_buf = jnp.take(rows, send_idx.reshape(-1), axis=0).reshape(d_count, s, f)
+    return _a2a(send_buf, axis)
+
+
+def _a2a(send_buf, axis):
+    """The collective itself — PROTGRAM_HS_NOCOMM=1 replaces it with identity
+    (wrong data, identical local work/shapes) so scaling harnesses can
+    measure the compute-only curve and attribute the gap to the wire."""
+    import os
+
+    if os.environ.get("PROTGRAM_HS_NOCOMM") == "1":
+        return send_buf
     return jax.lax.all_to_all(send_buf, axis, split_axis=0, concat_axis=0, tiled=False)
 
 
@@ -393,12 +422,14 @@ def _exchange3_start(send_idx, rows3, axis, d_count):
     sets (concatenated on the chunk axis)."""
     s = send_idx.shape[1]
     f = rows3[0].shape[1]
+    wd = _wire_dtype(rows3[0].dtype)
     bufs = [
-        jnp.take(r, send_idx.reshape(-1), axis=0).reshape(d_count, s, f)
+        jnp.take(r.astype(wd) if wd is not None else r,
+                 send_idx.reshape(-1), axis=0).reshape(d_count, s, f)
         for r in rows3
     ]
     send = jnp.concatenate(bufs, axis=1)  # [D, 3S, F]
-    return jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=False)
+    return _a2a(send, axis)
 
 
 def _exchange3_finish(asm_idx, recv, i):

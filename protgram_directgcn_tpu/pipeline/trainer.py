@@ -176,10 +176,11 @@ def make_optimizer(
                     if isinstance(entry, jax.tree_util.DictKey):
                         name = entry.key
                         break
-                is_node = (
-                    name in _NODE_PARAM_NAMES
-                    and getattr(p, "ndim", 0) >= 1
-                    and p.shape[0] == n
+                nd = getattr(p, "ndim", 0)
+                is_node = name in _NODE_PARAM_NAMES and nd >= 1 and (
+                    p.shape[0] == n
+                    # rg-native constant [A, G, out] (A*G == padded node count)
+                    or (nd == 3 and p.shape[0] * p.shape[1] == n)
                 )
                 return "node" if is_node else "dense"
 
@@ -250,6 +251,29 @@ class StagedOptState(NamedTuple):
     so orbax checkpointing and tree_map over it keep working)."""
 
     stages: Tuple[Any, ...]
+
+
+def _node_params_to_rg(params, full_graph):
+    """Store each layer's per-node constant in the kernel-native rg layout
+    [A, G, out] on hypercube-format levels (single-chip).
+
+    The flat [N, out] layout forces a materialised [N,out]<->[A,G,out]
+    relayout (~40-45 ms each at 5-gram scale, G odd => sublane-misaligned;
+    measured in experiments/exp_nodeparam_layout_r5.py) at EVERY forward
+    constant-add and every staged-step constant-gradient assembly; the rg
+    layout makes both free (models/directgcn reshape3 and trainer
+    _const_pad/assemble_update handle either form).  Gates stay [N, 1]:
+    their rg form measured no faster.  Subgraph (original_indices) batches
+    flatten on the fly in _gather_node_params."""
+    lead = getattr(full_graph.p_in, "feature_shape", None)
+    if lead is None:
+        return params
+    a, g = lead
+    for lp in params["layers"]:
+        c = lp.get("constant")
+        if c is not None and getattr(c, "ndim", 0) == 2 and c.shape[0] == a * g:
+            lp["constant"] = c.reshape(a, g, c.shape[-1])
+    return params
 
 
 def make_train_step_staged(
@@ -527,7 +551,13 @@ def make_train_step_staged(
 
         def _const_pad(lp, lead):
             a, g_real = lead
-            c = lp["constant"].reshape(a, g_real, out_dim)
+            c = lp["constant"]
+            if c.ndim == 2:
+                # Legacy flat storage: the [N,out]->[A,G,out] reshape is a
+                # materialised ~45 ms relayout at 5-gram scale (G odd =>
+                # sublane-misaligned); rg-native storage (the trainer's
+                # hypercube default, exp_nodeparam_layout_r5) skips it.
+                c = c.reshape(a, g_real, out_dim)
             if f_pad != out_dim:
                 c = jnp.pad(c, ((0, 0), (0, 0), (0, f_pad - out_dim)))
             return c
@@ -850,9 +880,16 @@ def make_train_step_staged(
                 "c_directed": (dgi * ca * ci + dgo * ca * co).astype(lp["c_directed"].dtype),
                 "c_undirected": (dgu * ca).astype(lp["c_undirected"].dtype),
                 "c_all": (dgi * cd * ci + dgo * cd * co + dgu * cu).astype(lp["c_all"].dtype),
-                "constant": _unpack(ds_packed, out_dim, lead)
-                .reshape(n, out_dim)
-                .astype(lp["constant"].dtype),
+                # ds IS the constant's gradient; rg-native storage takes the
+                # unpacked [A,G,out] directly (the .reshape(n,·) flat restore
+                # was a measured ~42 ms relayout per update).
+                "constant": (
+                    _unpack(ds_packed, out_dim, lead).astype(lp["constant"].dtype)
+                    if lp["constant"].ndim == 3
+                    else _unpack(ds_packed, out_dim, lead)
+                    .reshape(n, out_dim)
+                    .astype(lp["constant"].dtype)
+                ),
             }
             grp = (
                 None if rp is None
@@ -925,7 +962,10 @@ def make_train_step_staged(
                     dw, db, dgate, dxc, dwres = out
                 else:
                     dw, db, dgate, dxc = out
-                _sync(f"path{k}.{i}", dxc)
+                # Two path pipelines' workspaces may overlap (one ~2 GB each
+                # at 5-gram scale); only the last path's sync is a hard
+                # barrier before assemble+update consumes everything.
+                _sync(f"path{k}.{i}", dxc, droppable=i < 2)
                 dws.append(dw)
                 dbs.append(db)
                 dgates.append(dgate)
@@ -1008,11 +1048,19 @@ def make_train_step_staged(
     # (the conservative r3 behavior).
     _dbg = os.environ.get("PROTGRAM_STAGE_DEBUG") == "1"
     _timing = os.environ.get("PROTGRAM_STAGE_TIMING") == "1"
-    _sync_all = os.environ.get("PROTGRAM_STAGE_SYNC", "") == "all"
+    _sync_mode = os.environ.get("PROTGRAM_STAGE_SYNC", "")
+    _sync_all = _sync_mode == "all"
+    # "lean": drop the syncs whose adjacent-program overlap fits the
+    # measured headroom (r5: each sync on the tunneled backend costs a
+    # ~20-25 ms HTTP RTT of device idle; the droppable set was validated
+    # OOM-free at the 5-gram 4-layer config, experiments/exp_memwall_r5).
+    _lean = _sync_mode == "lean"
     stage_times: Dict[str, list] = {}
     _last = [0.0]
 
-    def _sync(tag, val, big=True):
+    def _sync(tag, val, big=True, droppable=False):
+        if _lean and droppable and not (_sync_all or _dbg or _timing):
+            return
         if not (big or _sync_all or _dbg or _timing):
             return
         t0 = time.perf_counter()
@@ -1064,7 +1112,9 @@ def make_train_step_staged(
                 carries.append(stage_fwd_fns[k](stage_ps[k], graph, carries[-1], rng))
             if k >= 1 and not held[k]:
                 carries[k] = None  # free: stage k recomputes it at backward
-            _sync(f"fwd{k}", carries[-1])
+            # Forward-sweep programs are single-pipeline; pairs may overlap.
+            # The last stage's sync stays (final_grad is the big program).
+            _sync(f"fwd{k}", carries[-1], droppable=k < m - 2)
 
         new_states = [None] * m
         g_p, g_c, loss_p, primary, l2_sum = final_grad_fn(
@@ -1086,7 +1136,7 @@ def make_train_step_staged(
             c = carries[j]
             for t in range(j, k):
                 c = stage_fwd_fns[t](stage_ps[t], graph, c, rng)
-                _sync(f"refwd{t}", c)
+                _sync(f"refwd{t}", c, droppable=True)
             return c
 
         for k in range(m - 2, 0, -1):
@@ -1821,6 +1871,8 @@ class HierarchicalTrainer:
             from protgram_directgcn_tpu.parallel.mesh import shard_model_params
 
             params = shard_model_params(params, mesh)
+        else:
+            params = _node_params_to_rg(params, full_graph)
 
         l2_lambda = gcn.l2_reg_lambda
         wd = gcn.weight_decay if l2_lambda <= 0 else 0.0

@@ -169,8 +169,73 @@ def make_cornell():
              x=x.astype(np.float32), y=y.astype(np.int64), edges=edges)
 
 
+def make_pubmed():
+    """14 nodes, 5 float (TF-IDF-like) features, 3 classes; CONTIGUOUS sorted
+    test.index [11, 12, 13] — the standard Planetoid case with non-binary
+    features (PubMed's distinguishing trait)."""
+    rng = np.random.default_rng(3)
+    n, f, c, n_train = 14, 5, 3, 3
+    x = np.round(rng.random((n, f)) * (rng.random((n, f)) < 0.6), 4)
+    y = rng.integers(0, c, n)
+    test_idx = np.array([11, 12, 13], np.int64)
+
+    und = {(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),
+           (8, 9), (9, 10), (10, 11), (11, 12), (12, 13), (0, 7), (3, 10)}
+    graph = {i: [] for i in range(n)}
+    pairs = []
+    for a, b in sorted(und):
+        graph[a].append(b)
+        graph[b].append(a)
+        pairs += [(a, b), (b, a)]
+    edges = np.unique(np.array(pairs, np.int64), axis=0)
+
+    _write_planetoid("PubMed", x, y, c, n_train, test_idx, graph)
+    np.savez(os.path.join(HERE, "PubMed_truth.npz"),
+             x=x.astype(np.float32), y=y.astype(np.int64), edges=edges,
+             n_train=np.int64(n_train), test_index=test_idx)
+
+
+def _make_webkb(name, seed, n, f, c, dup_edge=False):
+    rng = np.random.default_rng(seed)
+    x = (rng.random((n, f)) < 0.4).astype(np.float64)
+    y = rng.integers(0, c, n)
+    pairs = sorted({(int(a), int(b))
+                    for a, b in rng.integers(0, n, (3 * n, 2)) if a != b})
+    edges = np.unique(np.array(pairs, np.int64), axis=0)
+
+    raw = os.path.join(HERE, name, "raw")
+    os.makedirs(raw, exist_ok=True)
+    with open(os.path.join(raw, "out1_node_feature_label.txt"), "w") as fh:
+        fh.write("node_id\tfeature\tlabel\n")
+        for i in range(n):
+            feat = ",".join(str(int(v)) for v in x[i])
+            fh.write(f"{i}\t{feat}\t{int(y[i])}\n")
+    with open(os.path.join(raw, "out1_graph_edges.txt"), "w") as fh:
+        fh.write("source\ttarget\n")
+        for a, b in pairs:
+            fh.write(f"{a}\t{b}\n")
+        if dup_edge and pairs:
+            a, b = pairs[0]
+            fh.write(f"{a}\t{b}\n")  # duplicate row: parser must dedupe
+    np.savez(os.path.join(HERE, f"{name}_truth.npz"),
+             x=x.astype(np.float32), y=y.astype(np.int64), edges=edges)
+
+
+def make_texas():
+    """9 nodes; includes a DUPLICATE edge row (parser np.unique dedupe)."""
+    _make_webkb("Texas", seed=4, n=9, f=4, c=3, dup_edge=True)
+
+
+def make_wisconsin():
+    """11 nodes, 6 features, 4 classes."""
+    _make_webkb("Wisconsin", seed=5, n=11, f=6, c=4)
+
+
 if __name__ == "__main__":
     make_cora()
     make_citeseer()
     make_cornell()
+    make_pubmed()
+    make_texas()
+    make_wisconsin()
     print(f"fixtures written under {HERE}")

@@ -72,8 +72,33 @@ def test_load_dataset_prefers_real_files_over_synthetic():
 def test_load_dataset_falls_back_only_when_absent(tmp_path):
     ds = load_dataset("Cora", root=tmp_path)  # empty root: no raw files
     assert ds.synthetic
-    ds2 = load_dataset("PubMed", root=DATA)  # fixture not provided for PubMed
+    ds2 = load_dataset("PubMed", root=tmp_path)
     assert ds2.synthetic
+
+
+def test_parse_planetoid_pubmed_float_features():
+    """PubMed branch: non-binary (TF-IDF-like) features round-trip exactly,
+    contiguous sorted test range."""
+    t = _truth("PubMed")
+    ds = _parse_planetoid(DATA, "PubMed")
+    assert ds is not None and not ds.synthetic
+    np.testing.assert_allclose(ds.x, t["x"])
+    assert not np.isin(ds.x[ds.x != 0], (0.0, 1.0)).all()  # really non-binary
+    np.testing.assert_array_equal(ds.y, t["y"])
+    np.testing.assert_array_equal(np.unique(ds.edge_index.T, axis=0), t["edges"])
+
+
+@pytest.mark.parametrize("name", ["Texas", "Wisconsin"])
+def test_parse_webkb_texas_wisconsin(name):
+    """Remaining WebKB datasets; the Texas fixture carries a duplicate edge
+    row the parser must dedupe."""
+    t = _truth(name)
+    ds = _parse_webkb(DATA, name)
+    assert ds is not None and not ds.synthetic
+    np.testing.assert_allclose(ds.x, t["x"])
+    np.testing.assert_array_equal(ds.y, t["y"])
+    np.testing.assert_array_equal(np.unique(ds.edge_index.T, axis=0), t["edges"])
+    assert ds.edge_index.shape[1] == len(t["edges"])  # dupes collapsed
 
 
 def test_fixtures_regenerate_deterministically(tmp_path):

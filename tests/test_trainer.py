@@ -527,6 +527,75 @@ def test_staged_step_matches_fused(built_graphs, tmp_path):
     assert_params_close(p1, p3)
 
 
+def test_rg_native_constant_matches_flat(built_graphs, tmp_path):
+    """The rg-native [A,G,out] constant storage (trainer hypercube levels;
+    kills a ~40 ms relayout per forward use and per update at 5-gram scale)
+    must train EXACTLY like the flat [N,out] layout, in both the fused and
+    the staged step."""
+    import jax
+    import jax.numpy as jnp
+    from protgram_directgcn_tpu.graph import transforms
+    from protgram_directgcn_tpu.graph.structure import DeviceGraph, load_graph
+    from protgram_directgcn_tpu.models.directgcn import (
+        DirectGCNConfig, init_directgcn_params,
+    )
+    from protgram_directgcn_tpu.ops import hypercube
+    from protgram_directgcn_tpu.pipeline.trainer import (
+        _node_params_to_rg, make_optimizer, make_train_step, make_train_step_staged,
+    )
+
+    g = load_graph(built_graphs / "ngram_graph_n2.npz")
+    codes, alpha = hypercube.vocab_char_codes(g.vocab)
+
+    def hyper(m):
+        s, t, v = transforms.csr_to_coo_arrays(m)
+        return hypercube.build_hypercube(s, t, v, codes, alpha)
+
+    p_in = hyper(g.mathcal_a_in())
+    dg = DeviceGraph(
+        p_in=p_in, p_out=hyper(g.mathcal_a_out()), p_und=hyper(g.undirected_norm()),
+        num_nodes=p_in.n_out, node_map=p_in.node_map,
+    )
+    a, gd = p_in.feature_shape
+    nh = dg.num_nodes
+    cfg = DirectGCNConfig(
+        layer_dims=(16, 32, 8), num_nodes=nh, num_classes=5, n_gram_len=2,
+        max_pe_len=0, remat=True, remat_paths=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (a, gd, 16))
+    y = jax.random.randint(jax.random.PRNGKey(2), (nh,), 0, 5, jnp.int32)
+    mask = jnp.ones((nh,), jnp.float32)
+    rng = jax.random.PRNGKey(3)
+
+    def run(convert, staged):
+        params = init_directgcn_params(jax.random.PRNGKey(0), cfg)
+        if convert:
+            params = _node_params_to_rg(params, dg)
+            assert params["layers"][0]["constant"].ndim == 3
+        if staged:
+            step = make_train_step_staged(
+                cfg, lambda: make_optimizer(1e-3, 0.0), 1e-5, split=[1]
+            )
+            p, _, loss, _ = step(params, step.init_opt_state(params), dg, x, y,
+                                 mask, jnp.float32(1.0), rng, None)
+        else:
+            opt = make_optimizer(1e-3, 0.0)
+            step = make_train_step(cfg, opt, 1e-5)
+            p, _, loss, _ = step(params, opt.init(params), dg, x, y, mask,
+                                 jnp.float32(1.0), rng, None)
+        consts = [np.asarray(lp["constant"]).reshape(nh, -1) for lp in p["layers"]]
+        return float(loss), consts
+
+    loss_flat, c_flat = run(convert=False, staged=False)
+    loss_rg, c_rg = run(convert=True, staged=False)
+    loss_rg_staged, c_rg_staged = run(convert=True, staged=True)
+    np.testing.assert_allclose(loss_flat, loss_rg, rtol=1e-6)
+    np.testing.assert_allclose(loss_flat, loss_rg_staged, rtol=1e-5)
+    for cf, cr, cs in zip(c_flat, c_rg, c_rg_staged):
+        np.testing.assert_allclose(cf, cr, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(cf, cs, rtol=2e-4, atol=1e-6)
+
+
 def test_staged_step_refuses_different_shape_graph(built_graphs, tmp_path):
     """The manual per-layer backward pins the rg lead it was traced for;
     reusing the compiled step with a different-shape graph must raise

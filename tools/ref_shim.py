@@ -194,7 +194,9 @@ def build_reference_model(cfg, params):
         ):
             sd[pre + theirs + gate_suffix] = t(lp[ours])
         if lp["constant"] is not None:
-            sd[pre + "constant"] = t(lp["constant"])
+            # rg-native [A, G, out] storage flattens back to torch's [N, out]
+            c = np.array(lp["constant"], dtype=np.float32, copy=True)
+            sd[pre + "constant"] = torch.from_numpy(c.reshape(-1, c.shape[-1]))
         res = params["res_projs"][i]
         if res is not None:
             sd[f"res_projs.{i}.weight"] = t(res["w"]).T.contiguous()
