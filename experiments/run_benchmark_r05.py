@@ -33,7 +33,7 @@ DATASETS = ["KarateClub", "Cora", "CiteSeer", "PubMed", "Cornell", "Texas", "Wis
 
 
 def main():
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 150
     n_seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     from protgram_directgcn_tpu.config import Config
@@ -46,7 +46,16 @@ def main():
     cfg.benchmark.save_embeddings = False  # seed-averaged rows are the point
 
     t0 = time.time()
-    results = GNNBenchmarker(cfg).run(epochs=epochs, datasets=DATASETS)
+    results = []
+    # Dataset-at-a-time so a wall-clock kill keeps completed datasets; the
+    # big synthetic PubMed runs at 6 seeds (CPU budget).
+    bench = GNNBenchmarker(cfg)
+    for name in DATASETS:
+        cfg.benchmark.n_seeds = 6 if name == "PubMed" else n_seeds
+        results += bench.run(epochs=epochs, datasets=[name])
+        with open(OUT / "benchmark_rows_r05.json", "w") as f:
+            json.dump(results, f, indent=1, default=float)
+        print(f"[{name}] done ({time.time() - t0:.0f}s)", flush=True)
     print(f"benchmark done in {time.time() - t0:.0f}s", flush=True)
 
     # ---- paired Wilcoxon per dataset-variant: DirectGCN rows vs the zoo.

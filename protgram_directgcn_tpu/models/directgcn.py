@@ -549,7 +549,17 @@ def apply_layer_range(
             hh if rp is None
             else hh @ rp["w"].astype(hh.dtype) + rp["b"].astype(hh.dtype)
         )
-        out = jax.nn.leaky_relu(gcn_out + res_out, negative_slope=cfg.leaky_relu_slope)
+        s = gcn_out + res_out
+        # PACK BEFORE the activation tail: pack is a permutation (pad slots
+        # zero; leaky/dropout keep zeros zero), so leaky_relu and the
+        # dropout mask run on the packed half-size buffer — each elementwise
+        # sweep on a sub-128-lane rg array pays full 128-lane tile bytes
+        # otherwise (measured ~13 ms/layer saved at 5-gram scale,
+        # experiments/exp_fwd_stage_r5.py).  The staged manual backward's
+        # carry trick (ds = g * phi(h), trainer.ds_from_carry) reads the
+        # packed carry elementwise and is order-independent.
+        s = pack_rg_carry(s, pack)
+        out = jax.nn.leaky_relu(s, negative_slope=cfg.leaky_relu_slope)
         # Dropout INSIDE the (possibly remat'd) block: the bernoulli mask is
         # recomputed on backward instead of being saved per layer — at
         # 5-gram hypercube scale each saved mask is ~0.5 GB.
@@ -561,8 +571,7 @@ def apply_layer_range(
         # bf16 anyway, and the saved-for-backward activation halves (the
         # backward-saved f32 copies were the largest OOM allocations at
         # 5-gram scale — see experiments/exp_memwall_r2.py).
-        out = out.astype(ct) if ct is not None else out
-        return pack_rg_carry(out, pack)
+        return out.astype(ct) if ct is not None else out
 
     if cfg.remat:
         layer_block = jax.checkpoint(layer_block, static_argnums=())

@@ -611,12 +611,16 @@ def make_train_step_staged(
                 xc if rp is None
                 else xc @ rp["w"].astype(xc.dtype) + rp["b"].astype(xc.dtype)
             )
-            out = jax.nn.leaky_relu(s + res, negative_slope=slope)
+            # Pack BEFORE the activation tail — must mirror
+            # apply_layer_range's layer_block exactly (same op order, same
+            # packed mask shape) for the staged==fused parity to hold.
+            sp = pack_rg_carry((s + res).astype(ct))
+            out = jax.nn.leaky_relu(sp, negative_slope=slope)
             if dropout > 0:
                 keep = 1.0 - dropout
                 mask = jax.random.bernoulli(_keys(rng)[li], keep, out.shape)
                 out = jnp.where(mask, out / keep, 0.0)
-            return pack_rg_carry(out.astype(ct)), tuple(ys)
+            return out.astype(ct), tuple(ys)
 
         @jax.jit
         def ys_fwd(lp, graph, carry):
