@@ -241,8 +241,9 @@ def phase_profile():
 
 def phase_timed(tag_name):
     os.environ.pop("PROTGRAM_STAGE_TIMING", None)
-    if tag_name == "lean":
-        os.environ["PROTGRAM_STAGE_SYNC"] = "lean"
+    # "lean" is the production default since r5; "opt" pins the full
+    # barrier set for the A/B.
+    os.environ["PROTGRAM_STAGE_SYNC"] = "lean" if tag_name == "lean" else "full"
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

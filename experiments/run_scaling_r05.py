@@ -29,15 +29,17 @@ import subprocess
 import sys
 import time
 
-# (curve, env overrides, child curve name)
+# (curve, env overrides, child curve name, max runs): the halo-family
+# children cost 20-35 min each on this 2-core host (12.6M-edge ring
+# exchanges), so they get fewer runs than the flagship hyper family.
 VARIANTS = [
-    ("hyper_shard", {}, "hyper_shard"),
-    ("hyper_shard_nocomm", {"PROTGRAM_HS_NOCOMM": "1"}, "hyper_shard"),
-    ("hyper_shard_bf16w", {"PROTGRAM_HS_WIRE": "bf16"}, "hyper_shard"),
-    ("hyper_shard_tri", {}, "hyper_shard_tri"),
-    ("gspmd", {}, "gspmd"),
-    ("halo", {}, "halo"),
-    ("tri_halo", {}, "tri_halo"),
+    ("hyper_shard", {}, "hyper_shard", None),
+    ("hyper_shard_nocomm", {"PROTGRAM_HS_NOCOMM": "1"}, "hyper_shard", None),
+    ("hyper_shard_bf16w", {"PROTGRAM_HS_WIRE": "bf16"}, "hyper_shard", None),
+    ("hyper_shard_tri", {}, "hyper_shard_tri", None),
+    ("gspmd", {}, "gspmd", None),
+    ("halo", {}, "halo", 2),
+    ("tri_halo", {}, "tri_halo", 2),
 ]
 
 NOTE = (
@@ -68,13 +70,38 @@ def median(xs):
     return xs[k // 2] if k % 2 else 0.5 * (xs[k // 2 - 1] + xs[k // 2])
 
 
+def aggregate(raw, graph, runs):
+    out = {"note": NOTE, "graph": graph, "runs": runs}
+    for name, _, _, _ in VARIANTS:
+        series = raw.get(name, [])
+        if not series:
+            continue
+        pts = []
+        n_pts = min(len(s) for s in series)
+        for i in range(n_pts):
+            d = series[0][i]["shards"]
+            rates = [s[i]["edges_per_s"] for s in series]
+            rets = [s[i]["edges_per_s"] / s[0]["edges_per_s"] for s in series]
+            pts.append({
+                "shards": d,
+                "edges_per_s_median": round(median(rates), 1),
+                "edges_per_s_all": [round(x, 1) for x in rates],
+                "aggregate_retention_median": round(median(rets), 4),
+                "aggregate_retention_all": [round(x, 4) for x in rets],
+            })
+        out[name] = pts
+    return out
+
+
 def main():
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     t0 = time.time()
-    raw = {name: [] for name, _, _ in VARIANTS}
+    raw = {name: [] for name, _, _, _ in VARIANTS}
     graph = None
     for r in range(runs):
-        for name, env_extra, child_curve in VARIANTS:
+        for name, env_extra, child_curve, cap in VARIANTS:
+            if cap is not None and r >= cap:
+                continue
             env = dict(os.environ, **env_extra)
             p = subprocess.run(
                 [sys.executable, "-c", CHILD, child_curve],
@@ -95,30 +122,15 @@ def main():
             rets = [round(pt["edges_per_s"] / base, 3) for pt in res[child_curve]]
             print(f"[run {r}] {name}: within-run retention {rets} "
                   f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+            # Checkpoint after every child so a wall-clock kill keeps data.
+            with open("/root/repo/SCALING_r05.json", "w") as f:
+                json.dump(aggregate(raw, graph, runs), f, indent=1)
 
-    out = {"note": NOTE, "graph": graph, "runs": runs}
-    for name, _, _ in VARIANTS:
-        series = raw[name]
-        if not series:
-            continue
-        pts = []
-        n_pts = min(len(s) for s in series)
-        for i in range(n_pts):
-            d = series[0][i]["shards"]
-            rates = [s[i]["edges_per_s"] for s in series]
-            rets = [s[i]["edges_per_s"] / s[0]["edges_per_s"] for s in series]
-            pts.append({
-                "shards": d,
-                "edges_per_s_median": round(median(rates), 1),
-                "edges_per_s_all": [round(x, 1) for x in rates],
-                "aggregate_retention_median": round(median(rets), 4),
-                "aggregate_retention_all": [round(x, 4) for x in rets],
-            })
-        out[name] = pts
+    out = aggregate(raw, graph, runs)
     with open("/root/repo/SCALING_r05.json", "w") as f:
         json.dump(out, f, indent=1)
     print("wrote SCALING_r05.json", file=sys.stderr)
-    for name, _, _ in VARIANTS:
+    for name, _, _, _ in VARIANTS:
         if name in out:
             print(name, [(p["shards"], p["aggregate_retention_median"])
                          for p in out[name]], file=sys.stderr)

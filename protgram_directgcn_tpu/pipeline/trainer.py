@@ -1052,12 +1052,14 @@ def make_train_step_staged(
     # (the conservative r3 behavior).
     _dbg = os.environ.get("PROTGRAM_STAGE_DEBUG") == "1"
     _timing = os.environ.get("PROTGRAM_STAGE_TIMING") == "1"
-    _sync_mode = os.environ.get("PROTGRAM_STAGE_SYNC", "")
+    _sync_mode = os.environ.get("PROTGRAM_STAGE_SYNC", "lean")
     _sync_all = _sync_mode == "all"
-    # "lean": drop the syncs whose adjacent-program overlap fits the
-    # measured headroom (r5: each sync on the tunneled backend costs a
+    # "lean" (default): drop the syncs whose adjacent-program overlap fits
+    # the measured headroom (r5: each sync on the tunneled backend costs a
     # ~20-25 ms HTTP RTT of device idle; the droppable set was validated
-    # OOM-free at the 5-gram 4-layer config, experiments/exp_memwall_r5).
+    # OOM-free at the 5-gram 4-layer config, experiments/exp_memwall_r5 —
+    # 3.46 -> 2.98 s/step under identical load).  PROTGRAM_STAGE_SYNC=full
+    # restores every barrier; =all also syncs the small update programs.
     _lean = _sync_mode == "lean"
     stage_times: Dict[str, list] = {}
     _last = [0.0]
