@@ -110,12 +110,20 @@ def load_reference_modules():
     Returns (graph_utils_module, protgram_directgcn_module, Data_class).
     """
     install_pyg_shim()
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
     import importlib
 
-    graph_utils = importlib.import_module("src.utils.graph_utils")
-    protgram = importlib.import_module("src.models.protgram_directgcn")
+    # The reference root hosts a top-level main.py/config.py that would
+    # shadow the repo's own on later imports — take it off sys.path as soon
+    # as the (module-cached) imports are done.
+    added = REFERENCE_ROOT not in sys.path
+    if added:
+        sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        graph_utils = importlib.import_module("src.utils.graph_utils")
+        protgram = importlib.import_module("src.models.protgram_directgcn")
+    finally:
+        if added and REFERENCE_ROOT in sys.path:
+            sys.path.remove(REFERENCE_ROOT)
     return graph_utils, protgram, sys.modules["torch_geometric.data"].Data
 
 
