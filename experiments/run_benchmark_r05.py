@@ -55,9 +55,13 @@ def main():
         results += bench.run(epochs=epochs, datasets=[name])
         with open(OUT / "benchmark_rows_r05.json", "w") as f:
             json.dump(results, f, indent=1, default=float)
+        # Incremental summary so a wall-clock kill keeps a valid artifact.
+        write_summary(results, epochs, n_seeds)
         print(f"[{name}] done ({time.time() - t0:.0f}s)", flush=True)
     print(f"benchmark done in {time.time() - t0:.0f}s", flush=True)
 
+
+def write_summary(results, epochs, n_seeds):
     # ---- paired Wilcoxon per dataset-variant: DirectGCN rows vs the zoo.
     from scipy.stats import wilcoxon
 
