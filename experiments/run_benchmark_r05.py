@@ -29,7 +29,9 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 
 OUT = Path("/root/repo/artifacts/results_r05")
-DATASETS = ["KarateClub", "Cora", "CiteSeer", "PubMed", "Cornell", "Texas", "Wisconsin"]
+# Cheapest-first so a wall-clock kill keeps the most datasets; the big
+# synthetic PubMed (6 seeds) runs last.
+DATASETS = ["KarateClub", "Cornell", "Texas", "Wisconsin", "Cora", "CiteSeer", "PubMed"]
 
 
 def main():
