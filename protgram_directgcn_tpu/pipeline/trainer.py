@@ -827,17 +827,22 @@ def make_train_step_staged(
                     def path_first_saved(lp, rp, graph, xc_u, y_p, ds_p, du):
                         return _body(lp, rp, graph, xc_u, y_p, ds_p, None, du)
 
-                    return path_first_saved
+                    return path_first_saved, (4,)
 
                 @jax.jit
                 def path_first(lp, rp, graph, carry, ds_p):
                     return _body(lp, rp, graph, carry, None, ds_p, None)
 
-                return path_first
+                return path_first, ()
             if save_y:
                 # The LAST path donates the shared prepped du (and the
                 # prep-unpacked input when it is a distinct buffer).
-                if i < 2:
+                # Donation roles follow EXECUTION position: under
+                # PROTGRAM_PATH_SWAP12=1 (anomaly experiment — run order
+                # 0,2,1) path 1 is executed last and takes the du-donating
+                # role.
+                pos = i if not _swap12 else {1: 2, 2: 1}[i]
+                if pos < 2:
                     donate = (3, 6)
                 else:
                     donate = (2, 3, 5, 6) if _xc_prep else (3, 5, 6)
@@ -846,13 +851,13 @@ def make_train_step_staged(
                 def path_rest_saved(lp, graph, xc_u, y_p, ds_p, du, dxc_acc):
                     return _body(lp, None, graph, xc_u, y_p, ds_p, dxc_acc, du)
 
-                return path_rest_saved
+                return path_rest_saved, donate
 
             @functools.partial(jax.jit, donate_argnums=(4,))
             def path_rest(lp, graph, carry, ds_p, dxc_acc):
                 return _body(lp, None, graph, carry, None, ds_p, dxc_acc)
 
-            return path_rest
+            return path_rest, (4,)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def assemble_update(pk, opt_state, parts):
@@ -905,7 +910,24 @@ def make_train_step_staged(
             updates, opt_state = opts[k].update(grads, opt_state, pk)
             return optax.apply_updates(pk, updates), opt_state, l2_k
 
-        path_bwds = [make_path_bwd(i) for i in range(3)]
+        # PROTGRAM_PATH_SWAP12=1: execute the backward paths in order 0,2,1
+        # (dxc accumulation is commutative up to f32 reassociation).  With
+        # the probe this separates position-in-sequence effects (allocator /
+        # defrag state) from program-intrinsic cost for the r5 profile
+        # anomaly; experiment-only, not a production mode.
+        _swap12 = os.environ.get("PROTGRAM_PATH_SWAP12") == "1"
+        _path_defs = [make_path_bwd(i) for i in range(3)]
+        path_bwds = [f for f, _ in _path_defs]
+        path_donates = [d for _, d in _path_defs]
+        # PROTGRAM_PATH_PROBE=R: before each path's production call, run the
+        # SAME compiled program R extra times on copies of its donated args
+        # (device state otherwise untouched).  Separates "this program is
+        # intrinsically slow" from "this call pays a transient allocator/
+        # defrag cost at this point in the step" — the r5 profile anomaly
+        # (path2.1 at 233 ms vs ~90 ms siblings with identical modeled
+        # traffic, experiments/MEMWALL_r05.json).  Probe times land on
+        # ``step.stage_times`` as probe{k}.{i} (copy_s, exec_s) tuples.
+        _path_probe = int(os.environ.get("PROTGRAM_PATH_PROBE", "0"))
         # graph is threaded via a mutable ref so tail_bwd/assemble (which
         # don't take it as an arg) can read the rg lead at TRACE time.  The
         # jits above trace ONCE for the first graph's shapes; a different rg
@@ -949,9 +971,9 @@ def make_train_step_staged(
                 _sync(f"s_fwd{k}", s_p)
                 ds_p, dwres = tail_bwd(lp, rp, carry, s_p, g_next, rng)
                 _sync(f"tail{k}", ds_p)
-            dws, dbs, dgates = [], [], []
+            dws, dbs, dgates = [None] * 3, [None] * 3, [None] * 3
             dxc = None
-            for i in range(3):
+            for i in ((0, 2, 1) if _swap12 else (0, 1, 2)):
                 if save_y:
                     if i == 0:
                         args = (lp, rp, graph, xc_u, ys[i], ds_p, du)
@@ -961,6 +983,9 @@ def make_train_step_staged(
                     args = (lp, rp, graph, carry, ds_p)
                 else:
                     args = (lp, graph, carry, ds_p, dxc)
+                if _path_probe:
+                    _probe_path(f"probe{k}.{i}", path_bwds[i], args,
+                                path_donates[i])
                 out = path_bwds[i](*args)
                 if i == 0 and save_y:
                     dw, db, dgate, dxc, dwres = out
@@ -969,10 +994,11 @@ def make_train_step_staged(
                 # Two path pipelines' workspaces may overlap (one ~2 GB each
                 # at 5-gram scale); only the last path's sync is a hard
                 # barrier before assemble+update consumes everything.
-                _sync(f"path{k}.{i}", dxc, droppable=i < 2)
-                dws.append(dw)
-                dbs.append(db)
-                dgates.append(dgate)
+                _sync(f"path{k}.{i}", dxc,
+                      droppable=(i < 2 if not _swap12 else i != 1))
+                dws[i] = dw
+                dbs[i] = db
+                dgates[i] = dgate
             from protgram_directgcn_tpu.models.directgcn import pack_rg_carry as _pack
 
             if not need_dxc:
@@ -1063,6 +1089,35 @@ def make_train_step_staged(
     _lean = _sync_mode == "lean"
     stage_times: Dict[str, list] = {}
     _last = [0.0]
+
+    def _fetch_one(val):
+        leaf = jax.tree_util.tree_leaves(val)[0]
+        tiny = leaf[(slice(0, 1),) * getattr(leaf, "ndim", 0)]
+        np.asarray(jax.device_get(tiny))
+
+    def _probe_path(tag, fn, args, donate):
+        # See the PROTGRAM_PATH_PROBE note at the path_bwds definition.
+        # PROTGRAM_PATH_PROBE_ONLY="2.1,1.2" restricts to specific k.i
+        # stages (the probe's arg copies cost HBM; probing every path at
+        # 5-gram scale OOMs).
+        only = os.environ.get("PROTGRAM_PATH_PROBE_ONLY", "")
+        if only and tag.removeprefix("probe") not in only.split(","):
+            return
+        reps = int(os.environ.get("PROTGRAM_PATH_PROBE", "0"))
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            cargs = list(args)
+            for j in donate:
+                cargs[j] = jnp.copy(args[j])
+            if donate:
+                _fetch_one(cargs[donate[-1]])
+            t1 = time.perf_counter()
+            out = fn(*cargs)
+            _fetch_one(out[3])
+            t2 = time.perf_counter()
+            stage_times.setdefault(tag, []).append((t1 - t0, t2 - t1))
+            del out, cargs
+        _last[0] = time.perf_counter()
 
     def _sync(tag, val, big=True, droppable=False):
         if _lean and droppable and not (_sync_all or _dbg or _timing):
